@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference's Config.h (reference:
+code/windows/neural_color_transfer/source/ColorTransfer/Config.h:58-72 and
+:4-5).  Note the reference CLI *help text* (main.cu:40-43) advertises
+different defaults (0.4 / 0.001 / 0.0234375); the values actually used are
+the ones here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+MAX_SIZE = 1000          # hard cap on the longer image side (Config.h:5)
+MIN_VAL = -1e8
+MAX_VAL = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All pipeline hyper-parameters (ref Config.h:55-98)."""
+
+    # --- adjustable parameters -------------------------------------------
+    reverse_weight: float = 2.0    # BDS "completeness" vote weight (m_reverseWeight)
+    var_epsilon: float = 0.6       # a = sigma_ref/(sigma_src+eps), 0-255 domain (m_varEpslon)
+    nonlocal_weight: float = 2.0   # nonlocal constraint weight (m_nonlocalWeight)
+    local_weight: float = 0.125    # 1st-order smoothness weight (m_localWeight)
+    wls_lambda_init: float = 0.024  # WLS lambda before area scaling (m_wlsLamdaInit)
+
+    # --- usually-fixed parameters ----------------------------------------
+    cluster_num: int = 10          # semantic k-means clusters (m_clusterNum)
+    k_num: int = 8                 # k-NN neighbours in the nonlocal graph (m_kNum)
+    patch_size: int = 3            # patch width for PatchMatch / voting (m_patchSize)
+    wls_alpha: float = 1.2         # gradient exponent (m_wlsAlpha)
+
+    # --- algorithm schedule (ref main.cu:55-68) --------------------------
+    pm_iters: int = 10             # PatchMatch iterations per level (params.iter)
+    num_levels: int = 5            # conv5_1 .. conv1_1 pyramid levels
+    max_size: int = MAX_SIZE
+
+    # --- solver budgets (ref ColorTransfer.cpp:916-921) ------------------
+    cg_tol: float = 1e-6
+    cg_iters_final: int = 50       # at the finest level (layer==4)
+    cg_iters: int = 100            # at coarser levels
+    wls_cg_iters: int = 400        # WLS PCG budget (ref uses a direct solver)
+
+    # --- TPU execution knobs (no reference equivalent) -------------------
+    feature_dtype: str = "float32"  # "bfloat16" halves PatchMatch HBM traffic
+    kmeans_iters: int = 11          # ref FLANN KMeansIndexParams(.., 11, ..)
+
+    def pm_search_radii(self, max_len: int) -> list[int]:
+        """Per-level random-search radii (ref main.cu:77-83)."""
+        return [max_len // 16, max_len // 32, max_len // 64, 32, 32]
+
+    def vgg_layers(self) -> list[str]:
+        """Coarse-to-fine feature taps (ref main.cu:55-59), post-ReLU."""
+        return ["conv5_1", "conv4_1", "conv3_1", "conv2_1", "conv1_1"]
