@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: full 5-level pipeline on one demo-scale pair.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is end-to-end megapixels/sec/chip on the full progressive pipeline
+(BASELINE.md north star).  The baseline rate is the rebuild target from
+BASELINE.json — a 700 px pair (~0.33 MP) through all 5 levels in 2 s on one
+chip, i.e. 0.163 MP/s — so vs_baseline > 1 means faster than target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from nct_tpu.config import Config
+from nct_tpu.io import cap_max_size, imread_bgr
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import transfer_pair
+
+DEMO = "/root/reference/demo/example/in"
+BASELINE_MPS = (700 * 466 / 1e6) / 2.0  # 700px pair in 2 s (BASELINE.md)
+BENCH_MAX_SIZE = 700
+
+
+def load_pair():
+    cnt_p = os.path.join(DEMO, "in0.png")
+    stl_p = os.path.join(DEMO, "tar0.png")
+    if os.path.exists(cnt_p) and os.path.exists(stl_p):
+        cnt = cap_max_size(imread_bgr(cnt_p), BENCH_MAX_SIZE)
+        stl = cap_max_size(imread_bgr(stl_p), BENCH_MAX_SIZE)
+    else:  # synthetic fallback at demo-pair geometry
+        rng = np.random.default_rng(0)
+        cnt = rng.integers(0, 256, (452, 680, 3)).astype(np.uint8)
+        stl = rng.integers(0, 256, (600, 960, 3)).astype(np.uint8)
+    return cnt, stl
+
+
+def main() -> None:
+    cnt, stl = load_pair()
+    params = vgg19.init_params()
+    config = Config()
+    key = jax.random.PRNGKey(7)
+
+    def run():
+        out = transfer_pair(params, cnt, stl, 2.0, config, key=key)
+        return jax.block_until_ready(out)
+
+    run()  # warmup: compile every per-level program
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+
+    mp = cnt.shape[0] * cnt.shape[1] / 1e6
+    mps = mp / dt
+    print(json.dumps({
+        "metric": "e2e_megapixels_per_sec",
+        "value": round(mps, 4),
+        "unit": f"MP/s/chip (pair {cnt.shape[1]}x{cnt.shape[0]}, 5 levels, {dt:.2f}s)",
+        "vs_baseline": round(mps / BASELINE_MPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Command-line driver.
+
+Mirrors the reference CLI (reference: source/main.cu:29-44 ``get_input``,
+:456-543 ``transfer_single``): flags ``-m -i -o -bds -eps -nl -l -w`` plus
+the ``pairs.txt`` protocol (each line ``cntPath stlPath bdsWeight``; the
+per-pair weight overrides ``-bds``).  Outputs are written to
+``<out>/<cntStem>_<stlStem>_<bds%2.2f>.png`` at the content resolution.
+
+TPU-specific additions: ``--weights`` points at a converted VGG-19 npz
+(tools/convert_vgg19.py); ``--dtype`` selects the feature compute dtype.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from nct_tpu import io
+from nct_tpu.config import Config
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import transfer_pair
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nct-tpu",
+        description="Progressive colour transfer with dense semantic "
+        "correspondences (TPU-native).",
+    )
+    p.add_argument("-m", "--model", default=None,
+                   help="VGG-19 weights npz (converted caffemodel); "
+                   "omit for the seeded random backbone.")
+    p.add_argument("-i", "--input", required=True,
+                   help="Input directory containing images and pairs.txt.")
+    p.add_argument("-o", "--output", required=True,
+                   help="Output directory for result images.")
+    p.add_argument("-bds", type=float, default=2.0,
+                   help="Reverse (completeness) BDS vote weight "
+                   "(default 2.0; per-pair value in pairs.txt wins).")
+    p.add_argument("-eps", type=float, default=0.6,
+                   help="Variance epsilon in the 0-255 domain (default 0.6).")
+    p.add_argument("-nl", type=float, default=2.0,
+                   help="Nonlocal constraint weight (default 2.0).")
+    p.add_argument("-l", type=float, default=0.125,
+                   help="Local smoothness weight (default 0.125).")
+    p.add_argument("-w", type=float, default=0.024,
+                   help="Initial WLS lambda (default 0.024).")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32", help="Feature compute dtype.")
+    p.add_argument("--seed", type=int, default=7, help="PRNG seed.")
+    p.add_argument("--size", type=int, default=None,
+                   help="Override MAX_SIZE (longer-side cap, default 1000).")
+    p.add_argument("--pairs-limit", type=int, default=None,
+                   help="Process only the first N pairs.txt lines.")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output, exist_ok=True)
+
+    config = Config(
+        reverse_weight=args.bds, var_epsilon=args.eps,
+        nonlocal_weight=args.nl, local_weight=args.l,
+        wls_lambda_init=args.w, feature_dtype=args.dtype,
+        max_size=args.size if args.size else Config.max_size,
+    )
+
+    if args.model:
+        params = vgg19.load_params(args.model)
+    else:
+        print("warning: no --model given; using seeded random VGG-19 "
+              "filters (correspondence quality is reduced)")
+        params = vgg19.init_params()
+
+    pairs = io.read_pairs(os.path.join(args.input, "pairs.txt"))
+    if args.pairs_limit is not None:
+        pairs = pairs[: args.pairs_limit]
+    for pair in pairs:
+        cnt_path = os.path.join(args.input, pair.content)
+        stl_path = os.path.join(args.input, pair.style)
+        try:
+            cnt = io.cap_max_size(io.imread_bgr(cnt_path), config.max_size)
+            stl = io.cap_max_size(io.imread_bgr(stl_path), config.max_size)
+        except OSError as e:  # ref continues past unreadable images (:484-497)
+            print(f"error: failed reading pair ({e}); skipping")
+            continue
+        print(f"content: {pair.content} {cnt.shape[1]}x{cnt.shape[0]}, "
+              f"style: {pair.style} {stl.shape[1]}x{stl.shape[0]}, "
+              f"bds: {pair.bds_weight}")
+
+        pair_config = dataclasses.replace(
+            config, reverse_weight=pair.bds_weight
+        )
+        start = time.perf_counter()
+        result = transfer_pair(
+            params, cnt, stl, pair.bds_weight, pair_config,
+            key=jax.random.PRNGKey(args.seed),
+        )
+        result = np.asarray(jax.block_until_ready(result))
+        elapsed = time.perf_counter() - start
+        print(f"**Finished Time: {elapsed:.3f} sec.")
+
+        out_path = os.path.join(
+            args.output,
+            io.output_name(pair.content, pair.style, pair.bds_weight),
+        )
+        io.imwrite_bgr(out_path, result)
+        print(f"final output file: {out_path}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""Sharded batch transfer over a device mesh.
+
+The reference processes pairs.txt serially on one GPU (reference:
+main.cu:471); here a geometry bucket of pairs becomes one vmapped, jitted
+program whose batch axis is sharded over the mesh's ``data`` axis and whose
+image rows may additionally shard over ``space`` (SURVEY §2.3 #5, §5
+"distributed communication backend").  Pairs in a bucket share (H, W) and
+(Hs, Ws); callers group/pad pairs into buckets to avoid recompiles
+(SURVEY §7 "bucket-and-pad").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nct_tpu.config import Config
+from nct_tpu.pipeline import transfer_pair
+
+
+def make_batch_transfer(config: Config, mesh: Mesh | None = None):
+    """Build a jitted batched transfer fn.
+
+    Returns fn(params, cnt_batch [B,H,W,3] u8, stl_batch [B,Hs,Ws,3] u8,
+    bds_weight, keys [B,2] u32) -> [B,H,W,3] u8.  The BDS weight is a
+    bucket-level constant (it is baked into vote weights; per-pair weights
+    would need one bucket per distinct value, as the reference effectively
+    recompiles nothing but also fixes it per run).
+    """
+
+    def single(params, cnt, stl, key, bds_weight):
+        return transfer_pair(params, cnt, stl, bds_weight, config, key=key)
+
+    batched = jax.vmap(single, in_axes=(None, 0, 0, 0, None))
+
+    if mesh is None:
+        return jax.jit(batched, static_argnums=(4,))
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    img_sharding = NamedSharding(mesh, P("data", "space"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        static_argnums=(4,),
+        in_shardings=(repl, img_sharding, img_sharding, data_sharding),
+        out_shardings=img_sharding,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _noop():  # pragma: no cover - placeholder for future bucket cache
+    return None

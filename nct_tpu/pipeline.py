@@ -1,0 +1,230 @@
+"""Progressive colour-transfer pipeline: the 5-level coarse-to-fine loop.
+
+TPU-native rebuild of the reference orchestrator (reference: source/main.cu
+:47-454 ``transfer_color_single_bds``).  Per level (conv5_1 -> conv1_1):
+
+  1. NNF init (level 0) or coarse-to-fine upsample          (main.cu:229-251)
+  2. L2-normalize features, PatchMatch in both directions   (:253-284)
+  3. BDS colour guidance + BDS feature vote -> error map    (:291-318)
+  4. semantic k-NN graph on down-res Lab colours            (:351-359)
+  5. patch-moment (a, b) init + confidence                  (:368-378)
+  6. nonlocal CG solve at down-res                          (ColorTransfer.cpp:548)
+  7. bilinear coefficient upsample + roughness gate + WLS   (:951, :1376-1429)
+  8. apply a*Lab+b at full res, Lab -> BGR                  (:1436-1477)
+  9. re-extract VGG features from the refined image         (main.cu:424-427)
+
+Everything except image IO runs as jitted XLA programs with static
+per-level shapes; one compilation per distinct input geometry (SURVEY §7
+bucket-and-pad is the batching strategy on top).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nct_tpu.config import Config
+from nct_tpu.models import vgg19
+from nct_tpu.ops import bds, features, nnf, patchmatch, resize
+from nct_tpu.ops.color import bgr_u8_to_lab_u8, unit_lab_to_bgr_u8
+from nct_tpu.solve import cluster, knn, stats
+from nct_tpu.solve.nonlocal_solve import solve_nonlocal
+from nct_tpu.solve.wls import apply_transform, roughness_gate, solve_wls
+
+
+@dataclasses.dataclass
+class PipelineState:
+    """Cross-level state (the reference's device buffers, main.cu:114-137)."""
+
+    ann: jnp.ndarray          # [ah, aw, 2] forward NNF at current level dims
+    bnn: jnp.ndarray          # [bh, bw, 2] reverse NNF
+    refined: jnp.ndarray      # [H, W, 3] uint8 BGR current result
+    cnt_feats: dict[str, jnp.ndarray]   # refreshed per level
+
+
+def image_pyramid(
+    img_u8: jnp.ndarray, dims: list[tuple[int, int]]
+) -> list[jnp.ndarray]:
+    """Cascaded INTER_LINEAR pyramid: each level resized from the next finer
+    one (ref main.cu:104-108 resizes cntImages[l+1] -> cntImages[l])."""
+    n = len(dims)
+    out: list[Any] = [None] * n
+    out[n - 1] = img_u8
+    for l in range(n - 2, -1, -1):
+        h, w = dims[l]
+        out[l] = resize.resize_bilinear(out[l + 1], h, w)
+    return out
+
+
+def _feature_list(feats: dict[str, jnp.ndarray], taps) -> list[jnp.ndarray]:
+    return [feats[t] for t in taps]
+
+
+def transfer_pair(
+    params: dict,
+    cnt_bgr_u8,
+    stl_bgr_u8,
+    bds_weight: float,
+    config: Config = Config(),
+    key: jax.Array | None = None,
+    return_intermediates: bool = False,
+):
+    """Run the full progressive transfer for one image pair.
+
+    cnt/stl: uint8 BGR arrays (already capped to max_size by the caller).
+    Returns uint8 BGR result at the content's resolution — plus a per-level
+    trace dict when ``return_intermediates`` (the reference's ENABLE_VIS).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    taps = tuple(config.vgg_layers())
+    numlayer = len(taps)
+
+    cnt = jnp.asarray(cnt_bgr_u8)
+    stl = jnp.asarray(stl_bgr_u8)
+    h, w = cnt.shape[0], cnt.shape[1]
+    hs, ws = stl.shape[0], stl.shape[1]
+    max_len = max(h, w, hs, ws)
+    ranges = config.pm_search_radii(max_len)
+
+    cnt_dims_map = vgg19.feature_dims(h, w)
+    stl_dims_map = vgg19.feature_dims(hs, ws)
+    cnt_dims = [cnt_dims_map[t] for t in taps]
+    stl_dims = [stl_dims_map[t] for t in taps]
+
+    bf16 = config.feature_dtype == "bfloat16"
+    cnt_feats = vgg19.features_jit(params, cnt, taps, bf16)
+    stl_feats = vgg19.features_jit(params, stl, taps, bf16)
+
+    cnt_pyr = image_pyramid(cnt, cnt_dims)
+    stl_pyr = image_pyramid(stl, stl_dims)
+
+    # Full-res content Lab, fixed across levels (ref m_cntLabD).
+    cnt_lab_unit = bgr_u8_to_lab_u8(cnt).astype(jnp.float32) / 255.0
+
+    # --- one-time semantic clustering of conv5_1 content features
+    # (ref main.cu:145-168 + ColorTransfer::clusterFeastures).
+    lh, lw = cnt_dims[0]
+    f0 = cnt_feats[taps[0]].astype(jnp.float32)
+    f0n, _ = features.l2_normalize(f0)
+    key, kkey = jax.random.split(key)
+    label_map, _ = cluster.kmeans(
+        f0n.reshape(lh * lw, -1), kkey,
+        num_clusters=config.cluster_num, iters=config.kmeans_iters,
+    )
+    label_map = label_map.reshape(lh, lw)
+    membership = cluster.cluster_membership(label_map, config.cluster_num)
+
+    state = PipelineState(
+        ann=None, bnn=None, refined=cnt, cnt_feats=cnt_feats
+    )
+    trace: list[dict] = []
+
+    for l in range(numlayer):
+        ah, aw = cnt_dims[l]
+        bh, bw = stl_dims[l]
+
+        # 1. NNF lifecycle
+        if l == 0:
+            ann = nnf.init_scaled_identity(ah, aw, bh, bw)
+            bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
+        else:
+            ann = nnf.upsample(state.ann, ah, aw, bh, bw)
+            bnn = nnf.upsample(state.bnn, bh, bw, ah, aw)
+
+        # 2. normalize + PatchMatch both directions (ref :253-284)
+        fc = state.cnt_feats[taps[l]].astype(jnp.float32)
+        fs = stl_feats[taps[l]].astype(jnp.float32)
+        fc_n, _ = features.l2_normalize(fc)
+        fs_n, _ = features.l2_normalize(fs)
+        key, k_ab, k_ba = jax.random.split(key, 3)
+        rs = max(int(ranges[l]), 1)
+        ann, _ = patchmatch.patchmatch(
+            fc_n, fs_n, ann, k_ab,
+            iters=config.pm_iters, rs_max=rs, patch_size=config.patch_size,
+        )
+        bnn, _ = patchmatch.patchmatch(
+            fs_n, fc_n, bnn, k_ba,
+            iters=config.pm_iters, rs_max=rs, patch_size=config.patch_size,
+        )
+
+        # 3. BDS guidance image + feature vote -> matching error (ref :291-318)
+        down_cnt = cnt_pyr[l]
+        down_stl = stl_pyr[l]
+        guide_bgr = bds.bds_reconstruct_color(
+            down_stl, ann, bnn, 1.0, bds_weight, config.patch_size
+        )
+        voted_feat, _ = bds.bds_vote(
+            fs, ann, bnn, 1.0, bds_weight, config.patch_size
+        )
+        gf_n, _ = features.l2_normalize(voted_feat)
+        bds_err = features.cosine_error(fc_n, gf_n)
+
+        # 4. semantic k-NN graph on down-res Lab (ref :351-359)
+        cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
+        cnt_lab_d = cnt_lab_u8.astype(jnp.float32) / 255.0
+        stride = 2 ** l
+        pixel_labels = cluster.labels_for_pixels(label_map, ah, aw, stride)
+        member_pix = cluster.membership_for_pixels(membership, ah, aw, stride)
+        key, ckey = jax.random.split(key)
+        m_cand = min(2048, ah * aw)
+        candidates = knn.sample_cluster_candidates(member_pix, ckey, m_cand)
+        nbr_ids, nbr_w = knn.knn_graph(
+            cnt_lab_d, pixel_labels, candidates, k_num=config.k_num
+        )
+
+        # 5. patch moments -> (a, b) init + confidence (ref :368-378, 1194-1357)
+        guide_lab_u8 = bgr_u8_to_lab_u8(guide_bgr)
+        guide_lab_d = guide_lab_u8.astype(jnp.float32) / 255.0
+        a0, b0 = stats.init_ab(
+            cnt_lab_u8, guide_lab_u8, config.patch_size, config.var_epsilon
+        )
+        confidence = stats.error_confidence(bds_err)
+
+        # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949)
+        norm_factor = float(h * w) / float(ah * aw)
+        cg_iters = (
+            config.cg_iters_final if l == numlayer - 1 else config.cg_iters
+        )
+        a_d, b_d = solve_nonlocal(
+            a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
+            norm_factor, config.local_weight, config.wls_alpha,
+            config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
+        )
+
+        # 7. upsample coefficients + WLS at full res (ref :1376-1429)
+        a_up = resize.resize_bilinear(a_d, h, w)
+        b_up = resize.resize_bilinear(b_d, h, w)
+        lam = config.wls_lambda_init * norm_factor
+        if (ah, aw) == (h, w):
+            lam = lam * 4.0  # final-level boost (ref :1418-1424)
+        a_f, b_f = solve_wls(
+            a_up, b_up, cnt_lab_unit, lam, config.wls_alpha,
+            iters=config.wls_cg_iters, tol=config.cg_tol,
+        )
+
+        # 8. apply + convert (ref :1436-1477)
+        res_lab = apply_transform(a_f, b_f, cnt_lab_unit)
+        refined = unit_lab_to_bgr_u8(res_lab)
+
+        if return_intermediates:
+            trace.append({
+                "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
+                "a": a_f, "b": b_f, "bds_err": bds_err,
+                "refined": refined,
+            })
+
+        # 9. progressive feedback (ref main.cu:424-427)
+        cnt_feats_next = state.cnt_feats
+        if l < numlayer - 1:
+            cnt_feats_next = vgg19.features_jit(params, refined, taps, bf16)
+        state = PipelineState(
+            ann=ann, bnn=bnn, refined=refined, cnt_feats=cnt_feats_next
+        )
+
+    if return_intermediates:
+        return state.refined, trace
+    return state.refined

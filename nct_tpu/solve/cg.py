@@ -1,0 +1,86 @@
+"""Fixed-trip-count (preconditioned) conjugate gradient.
+
+Replaces both of the reference's linear-algebra backends — the cuSPARSE CG
+(reference: SparseSolver_GPU.cu:3-198, Golub & Van Loan 10.2.6 without
+preconditioning) and the MKL PARDISO direct solver (SparseSolver_CPU.cpp:
+104-286) — with one matrix-free PCG whose operator is a fused XLA
+computation (stencil + gather/scatter), so no CSR assembly or host<->device
+crossing exists at all.
+
+The loop is a ``lax.scan`` with a *fixed* iteration count (XLA-friendly;
+the reference also fixes iters at 50/100) and convergence masking: once
+``||r||^2 <= tol^2 * ||b||^2`` every later update is a no-op, which
+reproduces the early-exit semantics deterministically.
+
+Operands are pytrees (matching ``jax.scipy.sparse.linalg.cg``'s contract),
+letting callers stack (a, b) unknown fields without flattening.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _dot(x, y):
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda a, b: jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32)),
+            x, y,
+        )
+    )
+    return functools.reduce(jnp.add, leaves)
+
+
+def _axpy(alpha, x, y):
+    """y + alpha * x over pytrees."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+def cg_solve(
+    operator: Callable,
+    b,
+    x0,
+    iters: int,
+    tol: float = 1e-6,
+    preconditioner: Callable | None = None,
+):
+    """Solve operator(x) = b.  Returns (x, final ||r||^2).
+
+    operator/preconditioner: pytree -> pytree linear maps (operator must be
+    SPD, preconditioner an approximation of its inverse).
+    """
+    if preconditioner is None:
+        preconditioner = lambda r: r  # noqa: E731
+
+    r0 = jax.tree_util.tree_map(
+        lambda bi, axi: bi - axi, b, operator(x0)
+    )
+    z0 = preconditioner(r0)
+    rz0 = _dot(r0, z0)
+    b_norm2 = _dot(b, b)
+    threshold = jnp.asarray(tol, jnp.float32) ** 2 * b_norm2
+
+    def body(state, _):
+        x, r, p, rz = state
+        live = _dot(r, r) > threshold
+        ap = operator(p)
+        pap = _dot(p, ap)
+        alpha = jnp.where(
+            live, rz / jnp.where(pap != 0.0, pap, 1.0), 0.0
+        )
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, ap, r)
+        z = preconditioner(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(live, rz_new / jnp.where(rz != 0.0, rz, 1.0), 0.0)
+        p = jax.tree_util.tree_map(lambda zi, pi: zi + beta * pi, z, p)
+        rz = jnp.where(live, rz_new, rz)
+        return (x, r, p, rz), None
+
+    state0 = (x0, r0, z0, rz0)
+    (x, r, _, _), _ = jax.lax.scan(body, state0, None, length=iters)
+    return x, _dot(r, r)

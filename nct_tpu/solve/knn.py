@@ -1,0 +1,120 @@
+"""k-NN graph over Lab colours within semantic clusters.
+
+TPU-native replacement for the reference's per-cluster nanoflann kd-tree
+queries (reference: ColorTransfer.cpp:136-220 ``findSubKNNs``, :397-423
+``findKnns``, :60-110 ``sortMergeComputeWeight``): for every down-res pixel,
+find the k=8 nearest *other* pixels of its semantic cluster in unit-Lab
+colour space (squared L2, matching nanoflann's L2 metric) and weight each
+neighbour ``exp(1 - d / 3)``.
+
+Design (SURVEY §7.4): exact kd-trees are pointer-chasing-hostile on TPU, so
+each cluster's candidate set is a fixed-size random subsample (M pixels,
+seeded PRNG) and every pixel scores its own cluster's candidates with a
+dense masked distance computation, chunked over pixels to bound VMEM.  The
+reference's cross-cluster merge (pixels reachable through boundary-dilated
+membership of several clusters) is approximated by the pixel's primary
+cluster; the nonlocal term is a regulariser, so graph quality is judged by
+end-to-end output SSIM, not by graph equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_cluster_candidates(
+    membership_pix: jnp.ndarray,
+    key: jax.Array,
+    max_candidates: int,
+) -> jnp.ndarray:
+    """Sample up to M member pixel ids per cluster.
+
+    membership_pix: bool [K, H, W].  Returns int32 [K, M] flat pixel ids;
+    clusters smaller than M repeat their members (dedup happens naturally in
+    the top-k merge since duplicate ids tie on distance).
+
+    Replaces the reference's ``random_shuffle`` of each cluster's pixel list
+    (ColorTransfer.cpp:409) with a weighted top-M draw under an explicit key.
+    """
+    k, h, w = membership_pix.shape
+    n = h * w
+    m = membership_pix.reshape(k, n)
+    u = jax.random.uniform(key, (k, n), dtype=jnp.float32)
+    score = jnp.where(m, u, -1.0)
+    _, idx = jax.lax.top_k(score, max_candidates)
+    # For tiny clusters (< M members) top_k returns non-member ids with
+    # score -1; replace them with the cluster's first member.
+    member_rank = jnp.take_along_axis(score, idx, axis=1)
+    first = idx[:, :1]
+    return jnp.where(member_rank >= 0.0, idx, first).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_num", "chunk"))
+def knn_graph(
+    lab_unit: jnp.ndarray,
+    pixel_labels: jnp.ndarray,
+    candidates: jnp.ndarray,
+    k_num: int = 8,
+    chunk: int = 1024,
+):
+    """Build the nonlocal k-NN graph.
+
+    lab_unit: [H, W, 3] float Lab in [0, 1] (ref queries cntLabD,
+    ColorTransfer.cpp:150-169).  pixel_labels: [H, W] int32 primary cluster
+    per pixel.  candidates: [K, M] int32 flat pixel ids per cluster.
+
+    Returns (ids [N, k] int32, weights [N, k] float32) with N = H*W and
+    weights = exp(1 - d/3), d the squared unit-Lab distance
+    (sortMergeComputeWeight :99).
+    """
+    h, w, _ = lab_unit.shape
+    n = h * w
+    colors = lab_unit.reshape(n, 3).astype(jnp.float32)
+    labels_flat = pixel_labels.reshape(n)
+    m = candidates.shape[1]
+
+    pad = (-n) % chunk
+    q_colors = jnp.pad(colors, ((0, pad), (0, 0)))
+    q_labels = jnp.pad(labels_flat, (0, pad))
+    q_ids = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
+    n_chunks = (n + pad) // chunk
+
+    def one_chunk(args):
+        qc, ql, qi = args                      # [B,3], [B], [B]
+        cand_ids = candidates[ql]              # [B, M]
+        cand_col = colors[cand_ids]            # [B, M, 3]
+        diff = cand_col - qc[:, None, :]
+        d = jnp.sum(diff * diff, axis=-1)      # [B, M] squared L2
+        # Self-matches and duplicate candidate ids must not be neighbours:
+        # drop self by distance-inf, kill duplicates by keeping only the
+        # first occurrence of each id (stable top-k on (d, position)).
+        d = jnp.where(cand_ids == qi[:, None], jnp.inf, d)
+        neg, top_idx = jax.lax.top_k(-d, k_num + 1)
+        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=1)
+        top_d = -neg
+        # Mask duplicates among the k+1 shortlist (same id appearing twice).
+        dup = jnp.zeros(top_ids.shape, dtype=bool)
+        for j in range(1, k_num + 1):
+            dup = dup.at[:, j].set(
+                jnp.any(top_ids[:, :j] == top_ids[:, j : j + 1], axis=1)
+            )
+        top_d = jnp.where(dup, jnp.inf, top_d)
+        neg2, sel = jax.lax.top_k(-top_d, k_num)
+        ids = jnp.take_along_axis(top_ids, sel, axis=1)
+        dists = -neg2
+        weights = jnp.where(
+            jnp.isfinite(dists), jnp.exp(1.0 - dists / 3.0), 0.0
+        )
+        return ids, weights
+
+    qc = q_colors.reshape(n_chunks, chunk, 3)
+    ql = q_labels.reshape(n_chunks, chunk)
+    qi = q_ids.reshape(n_chunks, chunk)
+    ids, weights = jax.lax.map(one_chunk, (qc, ql, qi))
+    return (
+        ids.reshape(-1, k_num)[:n],
+        weights.reshape(-1, k_num)[:n],
+    )

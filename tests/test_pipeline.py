@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests on tiny images (CPU backend).
+
+The reference has no automated tests; its correctness story is golden
+outputs (SURVEY §4).  Here: structural smoke + determinism + the guidance
+path actually pulling the style palette.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nct_tpu.config import Config
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import image_pyramid, transfer_pair
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    rng = np.random.default_rng(3)
+    cnt = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    stl = rng.integers(0, 256, (44, 52, 3)).astype(np.uint8)
+    params = vgg19.init_params()
+    config = Config(
+        pm_iters=2, cg_iters=10, cg_iters_final=10, wls_cg_iters=10,
+        kmeans_iters=3,
+    )
+    return params, cnt, stl, config
+
+
+def test_transfer_pair_shapes_and_determinism(tiny_setup):
+    params, cnt, stl, config = tiny_setup
+    key = jax.random.PRNGKey(0)
+    out1 = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key)
+    )
+    out2 = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key)
+    )
+    assert out1.shape == cnt.shape and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_transfer_pair_intermediates(tiny_setup):
+    params, cnt, stl, config = tiny_setup
+    out, trace = transfer_pair(
+        params, cnt, stl, 2.0, config, key=jax.random.PRNGKey(1),
+        return_intermediates=True,
+    )
+    assert len(trace) == 5
+    dims = vgg19.feature_dims(cnt.shape[0], cnt.shape[1])
+    for lvl, tap in enumerate(config.vgg_layers()):
+        t = trace[lvl]
+        assert t["ann"].shape[:2] == dims[tap]
+        assert t["guide"].shape[:2] == dims[tap]
+        assert t["refined"].shape == cnt.shape
+    # finest level feature grid == full image grid
+    assert dims["conv1_1"] == cnt.shape[:2]
+
+
+def test_constant_style_pulls_palette(tiny_setup):
+    """With a uniform orange style, the result should move decisively
+    toward that colour (the BDS guidance is orange everywhere)."""
+    params, cnt, _, config = tiny_setup
+    stl = np.zeros((44, 52, 3), np.uint8)
+    stl[..., 2] = 220  # BGR orange-ish (red-dominant)
+    stl[..., 1] = 120
+    out = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config,
+                      key=jax.random.PRNGKey(2))
+    )
+    # red channel mean should exceed blue channel mean like the style does
+    assert out[..., 2].mean() > out[..., 0].mean() + 20
+
+
+def test_image_pyramid_cascade():
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (32, 32, 3)), jnp.uint8
+    )
+    dims = [(2, 2), (4, 4), (8, 8), (16, 16), (32, 32)]
+    pyr = image_pyramid(img, dims)
+    for (h, w), lvl in zip(dims, pyr):
+        assert lvl.shape[:2] == (h, w)
+    np.testing.assert_array_equal(np.asarray(pyr[-1]), np.asarray(img))

@@ -1,0 +1,272 @@
+"""Solver-suite tests: CG core, matrix-free operators vs dense assemblies.
+
+The nonlocal and WLS operators are validated against *literal* dense
+reconstructions of the reference's least-squares rows (reference:
+ColorTransfer.cpp:612-911 and :1001-1093), built independently in numpy —
+if the matrix-free operator equals A^T A of those rows, the TPU solve is
+solving the same system the CUDA/MKL code did.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nct_tpu.solve.cg import cg_solve
+from nct_tpu.solve.nonlocal_solve import (
+    gradient_weights,
+    laplacian_apply,
+    laplacian_degree,
+    make_nonlocal_system,
+    nonlocal_apply,
+    solve_nonlocal,
+)
+from nct_tpu.solve.wls import roughness_gate, solve_wls
+
+
+def test_cg_matches_dense_solve(rng):
+    n = 24
+    m = rng.standard_normal((n, n))
+    spd = m @ m.T + n * np.eye(n)
+    b = rng.standard_normal(n).astype(np.float32)
+    x_np = np.linalg.solve(spd, b)
+
+    op = lambda x: jnp.asarray(spd, jnp.float32) @ x  # noqa: E731
+    x, res = cg_solve(op, jnp.asarray(b), jnp.zeros(n, jnp.float32), iters=60)
+    np.testing.assert_allclose(np.asarray(x), x_np, rtol=1e-3, atol=1e-3)
+
+
+def test_cg_pytree_and_preconditioner(rng):
+    diag = rng.uniform(1.0, 5.0, 10).astype(np.float32)
+    b = rng.standard_normal(10).astype(np.float32)
+    op = lambda x: {"v": jnp.asarray(diag) * x["v"]}  # noqa: E731
+    pre = lambda r: {"v": r["v"] / jnp.asarray(diag)}  # noqa: E731
+    x, _ = cg_solve(
+        op, {"v": jnp.asarray(b)}, {"v": jnp.zeros(10, jnp.float32)},
+        iters=3, preconditioner=pre,
+    )
+    np.testing.assert_allclose(np.asarray(x["v"]), b / diag, rtol=1e-5)
+
+
+def _dense_grid_laplacian(wx, wy):
+    """Dense Laplacian matrix for the 4-neighbour grid."""
+    h, w = wx.shape
+    n = h * w
+    L = np.zeros((n, n))
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x + 1 < w:
+                g = wx[y, x]
+                j = i + 1
+                L[i, i] += g; L[j, j] += g
+                L[i, j] -= g; L[j, i] -= g
+            if y + 1 < h:
+                g = wy[y, x]
+                j = i + w
+                L[i, i] += g; L[j, j] += g
+                L[i, j] -= g; L[j, i] -= g
+    return L
+
+
+def test_laplacian_apply_matches_dense(rng):
+    h, w = 5, 7
+    wx = rng.uniform(0.1, 2.0, (h, w)); wx[:, -1] = 0
+    wy = rng.uniform(0.1, 2.0, (h, w)); wy[-1, :] = 0
+    u = rng.standard_normal((h, w, 3)).astype(np.float32)
+    L = _dense_grid_laplacian(wx, wy)
+    want = (L @ u.reshape(-1, 3)).reshape(h, w, 3)
+    got = laplacian_apply(
+        jnp.asarray(u), jnp.asarray(wx, jnp.float32), jnp.asarray(wy, jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_degree(jnp.asarray(wx, jnp.float32),
+                                    jnp.asarray(wy, jnp.float32))).reshape(-1),
+        np.diag(L), rtol=1e-5,
+    )
+
+
+def test_nonlocal_apply_matches_dense(rng):
+    n, k = 12, 3
+    ids = rng.integers(0, n, (n, k)).astype(np.int32)
+    wts = rng.uniform(0.1, 1.0, (n, k)).astype(np.float32)
+    u = rng.standard_normal((n, 2)).astype(np.float32)
+    L = np.zeros((n, n))
+    for i in range(n):
+        for t in range(k):
+            j, wv = ids[i, t], wts[i, t]
+            L[i, i] += wv; L[j, j] += wv
+            L[i, j] -= wv; L[j, i] -= wv
+    want = L @ u
+    got = nonlocal_apply(jnp.asarray(u), jnp.asarray(ids), jnp.asarray(wts))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def _reference_nonlocal_rows(s, r, conf, nf, gx, gy, ids, wts, nl_w, k_num):
+    """Literal LS rows per ColorTransfer.cpp:612-911 (one channel)."""
+    h, w = s.shape
+    n = h * w
+    rows, rhs = [], []
+    # data rows (:612-658)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            d = np.sqrt(conf[y, x]) * np.sqrt(nf)
+            row = np.zeros(2 * n)
+            row[i] = d * s[y, x]
+            row[n + i] = d
+            rows.append(row); rhs.append(d * r[y, x])
+    # local rows: each pixel emits rows for all 4 in-bounds directions,
+    # separately for a and b (:661-847)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            for (dx, dy) in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                xn, yn = x + dx, y + dy
+                if not (0 <= xn < w and 0 <= yn < h):
+                    continue
+                if dx:
+                    g = gx[y, min(x, xn)]
+                else:
+                    g = gy[min(y, yn), x]
+                j = yn * w + xn
+                for base in (0, n):
+                    row = np.zeros(2 * n)
+                    row[base + i] = -g
+                    row[base + j] = g
+                    rows.append(row); rhs.append(0.0)
+    # nonlocal rows (:850-911); += because the reference emits two CSR
+    # entries that share a column when j == i (they sum in SpMV)
+    iw_scale = np.sqrt(nl_w / k_num)
+    for i in range(n):
+        for t in range(ids.shape[1]):
+            j = ids[i, t]
+            iw = np.sqrt(wts[i, t]) * iw_scale
+            for base in (0, n):
+                row = np.zeros(2 * n)
+                row[base + min(i, j)] += iw
+                row[base + max(i, j)] -= iw
+                rows.append(row); rhs.append(0.0)
+    A = np.stack(rows)
+    b = np.asarray(rhs)
+    return A, b
+
+
+def test_nonlocal_operator_matches_dense_normal_matrix(rng):
+    """Matrix-free operator == A^T A of the literal reference rows."""
+    h, w = 3, 4
+    n = h * w
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    ids = rng.integers(0, n, (n, 4)).astype(np.int32)
+    wts = rng.uniform(0.3, 2.0, (n, 4))
+    nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
+
+    gx, gy = gradient_weights(jnp.asarray(s[..., 0], jnp.float32), lw, alpha)
+    gx, gy = np.asarray(gx, np.float64), np.asarray(gy, np.float64)
+
+    operator, rhs, _ = make_nonlocal_system(
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32), jnp.asarray(ids),
+        jnp.asarray(wts, jnp.float32), nf, lw, alpha, nlw,
+    )
+
+    x_a = rng.standard_normal((h, w, 3)).astype(np.float32)
+    x_b = rng.standard_normal((h, w, 3)).astype(np.float32)
+    got_a, got_b = operator((jnp.asarray(x_a), jnp.asarray(x_b)))
+
+    for c in range(3):
+        A, rb = _reference_nonlocal_rows(
+            s[..., c], r[..., c], conf, nf, gx, gy, ids, wts, nlw, 4
+        )
+        NtN = A.T @ A
+        x = np.concatenate([x_a[..., c].reshape(-1), x_b[..., c].reshape(-1)])
+        want = NtN @ x
+        got = np.concatenate([
+            np.asarray(got_a[..., c]).reshape(-1),
+            np.asarray(got_b[..., c]).reshape(-1),
+        ])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        want_rhs = A.T @ rb
+        got_rhs = np.concatenate([
+            np.asarray(rhs[0][..., c]).reshape(-1),
+            np.asarray(rhs[1][..., c]).reshape(-1),
+        ])
+        np.testing.assert_allclose(got_rhs, want_rhs, rtol=2e-4, atol=2e-4)
+
+
+def test_nonlocal_solve_matches_reference_normal_equations(rng):
+    h, w = 4, 5
+    n = h * w
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    ids = rng.integers(0, n, (n, 4)).astype(np.int32)
+    wts = rng.uniform(0.3, 2.0, (n, 4)).astype(np.float64)
+    nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
+
+    gx, gy = gradient_weights(jnp.asarray(s[..., 0], jnp.float32), lw, alpha)
+    gx, gy = np.asarray(gx, np.float64), np.asarray(gy, np.float64)
+
+    a_got, b_got = solve_nonlocal(
+        jnp.zeros((h, w, 3)), jnp.zeros((h, w, 3)),
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32),
+        jnp.asarray(ids), jnp.asarray(wts, jnp.float32),
+        nf, lw, alpha, nlw, iters=400, tol=1e-12,
+    )
+
+    for c in range(3):
+        A, rhs = _reference_nonlocal_rows(
+            s[..., c], r[..., c], conf, nf, gx, gy, ids, wts, nlw, 4
+        )
+        x = np.linalg.solve(A.T @ A, A.T @ rhs)
+        np.testing.assert_allclose(
+            np.asarray(a_got[..., c]).reshape(-1), x[:n], rtol=2e-2, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_got[..., c]).reshape(-1), x[n:], rtol=2e-2, atol=2e-2
+        )
+
+
+def test_roughness_gate_last_channel_wins():
+    # The reference's per-channel loop overwrites roughness, so only the
+    # final (Lab b) channel decides (ColorTransfer.cpp:476-487).
+    lab = jnp.full((1, 2, 3), 0.5)
+    a = jnp.asarray([[[5.0, 5.0, 1.0], [1.0, 1.0, 5.0]]])  # ch2 in/out of gamut
+    b = jnp.zeros((1, 2, 3))
+    r = roughness_gate(a, b, lab)
+    np.testing.assert_allclose(np.asarray(r), [[1.0, 1e-6]])
+
+
+def test_wls_matches_dense_solve(rng):
+    h, w = 6, 5
+    n = h * w
+    lab = rng.uniform(0.0, 1.0, (h, w, 3))
+    a_up = rng.uniform(0.5, 1.5, (h, w, 3))
+    b_up = rng.uniform(-0.2, 0.2, (h, w, 3))
+    lam, alpha = 0.3, 1.2
+
+    gx, gy = gradient_weights(jnp.asarray(lab[..., 0], jnp.float32), 1.0, alpha)
+    gx2 = np.asarray(gx, np.float64) ** 2 * lam
+    gy2 = np.asarray(gy, np.float64) ** 2 * lam
+    rough = np.asarray(
+        roughness_gate(jnp.asarray(a_up), jnp.asarray(b_up), jnp.asarray(lab))
+    )
+    N = _dense_grid_laplacian(gx2, gy2) + np.diag(rough.reshape(-1))
+
+    a_got, b_got = solve_wls(
+        jnp.asarray(a_up, jnp.float32), jnp.asarray(b_up, jnp.float32),
+        jnp.asarray(lab, jnp.float32), lam, alpha, iters=600, tol=1e-12,
+    )
+    for c in range(3):
+        want_a = np.linalg.solve(N, rough.reshape(-1) * a_up[..., c].reshape(-1))
+        want_b = np.linalg.solve(N, rough.reshape(-1) * b_up[..., c].reshape(-1))
+        np.testing.assert_allclose(
+            np.asarray(a_got[..., c]).reshape(-1), want_a, rtol=1e-2, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_got[..., c]).reshape(-1), want_b, rtol=1e-2, atol=1e-2
+        )

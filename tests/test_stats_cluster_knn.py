@@ -1,0 +1,140 @@
+"""Tests: patch statistics, k-means clustering, k-NN graph."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nct_tpu.solve import cluster, knn, stats
+
+
+def _brute_window_stats(img, ps):
+    h, w, c = img.shape
+    half = ps // 2
+    left, right = -half, ps - half
+    mean = np.zeros((h, w, c))
+    std = np.zeros((h, w, c))
+    for y in range(h):
+        for x in range(w):
+            sy, ey = max(y + left, 0), min(y + right, h)
+            sx, ex = max(x + left, 0), min(x + right, w)
+            patch = img[sy:ey, sx:ex].reshape(-1, c).astype(np.float64)
+            mean[y, x] = patch.mean(axis=0)
+            std[y, x] = np.sqrt(
+                np.maximum(
+                    (patch ** 2).mean(axis=0) - patch.mean(axis=0) ** 2, 0
+                )
+            )
+    return mean, std
+
+
+def test_patch_moments_match_bruteforce(rng):
+    img = rng.integers(0, 256, (7, 9, 3)).astype(np.uint8)
+    mean_np, std_np = _brute_window_stats(img, 3)
+    mean, std = stats.patch_moments(jnp.asarray(img), 3)
+    np.testing.assert_allclose(np.asarray(mean), mean_np, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std), std_np, rtol=1e-3, atol=1e-2)
+
+
+def test_init_ab_formula(rng):
+    cnt = rng.integers(0, 256, (6, 6, 3)).astype(np.uint8)
+    guide = rng.integers(0, 256, (6, 6, 3)).astype(np.uint8)
+    a, b = stats.init_ab(jnp.asarray(cnt), jnp.asarray(guide), 3, 0.6)
+    mu_s, sd_s = _brute_window_stats(cnt, 3)
+    mu_r, sd_r = _brute_window_stats(guide, 3)
+    a_np = sd_r / (sd_s + 0.6)
+    b_np = (mu_r - mu_s * a_np) / 255.0
+    np.testing.assert_allclose(np.asarray(a), a_np, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b), b_np, rtol=1e-3, atol=1e-3)
+
+
+def test_error_confidence_minmax():
+    err = jnp.asarray([[0.0, 0.5], [1.0, 2.0]])
+    conf = stats.error_confidence(err)
+    np.testing.assert_allclose(
+        np.asarray(conf), [[1.0, 0.75], [0.5, 1e-6]], rtol=1e-5
+    )
+
+
+def test_kmeans_separated_blobs(rng):
+    blob_a = rng.normal(0.0, 0.05, (40, 4))
+    blob_b = rng.normal(3.0, 0.05, (40, 4))
+    pts = np.concatenate([blob_a, blob_b]).astype(np.float32)
+    labels, centers = cluster.kmeans(
+        jnp.asarray(pts), jax.random.PRNGKey(0), num_clusters=2, iters=11
+    )
+    labels = np.asarray(labels)
+    assert len(set(labels[:40])) == 1
+    assert len(set(labels[40:])) == 1
+    assert labels[0] != labels[40]
+
+
+def test_cluster_membership_is_dilation():
+    labels = jnp.asarray([[0, 0, 1], [0, 1, 1], [2, 2, 1]], jnp.int32)
+    m = np.asarray(cluster.cluster_membership(labels, 3))
+    # cluster 0 cells + 4-neighbours of those cells
+    want0 = np.array([[1, 1, 1], [1, 1, 0], [1, 0, 0]], bool)
+    np.testing.assert_array_equal(m[0], want0)
+    # every cell belongs to its own label's set
+    lab = np.asarray(labels)
+    for k in range(3):
+        assert np.all(m[k][lab == k])
+
+
+def test_labels_for_pixels_stride():
+    labels = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    px = np.asarray(cluster.labels_for_pixels(labels, 4, 4, 2))
+    want = np.array(
+        [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]]
+    )
+    np.testing.assert_array_equal(px, want)
+
+
+def test_knn_graph_matches_bruteforce(rng):
+    h, w, k = 6, 5, 3
+    n = h * w
+    lab = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    # single cluster containing every pixel, candidates = all pixels
+    labels = jnp.zeros((h, w), jnp.int32)
+    candidates = jnp.arange(n, dtype=jnp.int32)[None, :]
+    ids, wts = knn.knn_graph(jnp.asarray(lab), labels, candidates, k_num=k)
+    ids, wts = np.asarray(ids), np.asarray(wts)
+
+    flat = lab.reshape(n, 3).astype(np.float64)
+    for i in range(n):
+        d = ((flat - flat[i]) ** 2).sum(axis=1)
+        d[i] = np.inf
+        order = np.argsort(d)[:k]
+        assert set(ids[i]) == set(order), f"pixel {i}"
+        np.testing.assert_allclose(
+            sorted(wts[i]), sorted(np.exp(1.0 - d[order] / 3.0)), rtol=1e-4
+        )
+
+
+def test_knn_graph_excludes_self_and_duplicates(rng):
+    h, w, k = 3, 3, 2
+    n = h * w
+    lab = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    labels = jnp.zeros((h, w), jnp.int32)
+    # duplicate every candidate id twice
+    cand = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32)] * 2
+    )[None, :]
+    ids, wts = knn.knn_graph(jnp.asarray(lab), labels, cand, k_num=k)
+    ids, wts = np.asarray(ids), np.asarray(wts)
+    for i in range(n):
+        live = ids[i][wts[i] > 0]
+        assert i not in live
+        assert len(set(live)) == len(live)
+
+
+def test_sample_cluster_candidates_members_only(rng):
+    member = np.zeros((2, 4, 4), bool)
+    member[0, :2] = True      # cluster 0: top half
+    member[1, 2:] = True      # cluster 1: bottom half
+    cand = np.asarray(
+        knn.sample_cluster_candidates(
+            jnp.asarray(member), jax.random.PRNGKey(1), 6
+        )
+    )
+    assert np.all(cand[0] < 8)
+    assert np.all(cand[1] >= 8)
