@@ -151,44 +151,55 @@ def patchmatch(
         dbest = jnp.where(better, d, dbest)
         return nnf, dbest
 
-    def body(state, u_iter):
+    # Offsets as data, loops as scans: the candidate evaluation appears
+    # ONCE in the compiled program instead of 22x, which keeps per-level
+    # compile time sane while preserving the exact sequential improve
+    # order of the reference (jumps 8,4,2,1 x 4 dirs, then shrinking
+    # random search).
+    jump_offsets = jnp.asarray(
+        [(dx * j, dy * j) for j in _JUMPS for dx, dy in _DIRS],
+        dtype=jnp.int32,
+    )
+
+    def prop_step(state, off):
+        jx, jy = off[0], off[1]
         nnf, dbest = state
-        # -- jump-flooding propagation (ref :722-803)
-        for jump in _JUMPS:
-            for dx, dy in _DIRS:
-                jx, jy = dx * jump, dy * jump
-                src = jnp.roll(nnf, shift=(jy, jx), axis=(0, 1))
-                cand_x = src[..., 0] + jx
-                cand_y = src[..., 1] + jy
-                valid_src = (
-                    (xs - jx >= 0) & (xs - jx < wa)
-                    & (ys - jy >= 0) & (ys - jy < ha)
-                )
-                valid = (
-                    valid_src
-                    & (cand_x >= 0) & (cand_x < wb)
-                    & (cand_y >= 0) & (cand_y < hb)
-                )
-                cand = jnp.stack([cand_x, cand_y], axis=-1)
-                nnf, dbest = improve((nnf, dbest), cand, valid)
-        # -- exponential random search (ref :805-821)
-        for mi, mag in enumerate(mags):
-            xb, yb = nnf[..., 0], nnf[..., 1]
-            xmin = jnp.maximum(xb - mag, 0)
-            xmax = jnp.minimum(xb + mag + 1, wb)
-            ymin = jnp.maximum(yb - mag, 0)
-            ymax = jnp.minimum(yb + mag + 1, hb)
-            ux = u_iter[mi, ..., 0]
-            uy = u_iter[mi, ..., 1]
-            cx = xmin + (ux * (xmax - xmin).astype(jnp.float32)).astype(jnp.int32)
-            cy = ymin + (uy * (ymax - ymin).astype(jnp.float32)).astype(jnp.int32)
-            cand = jnp.stack(
-                [jnp.clip(cx, 0, wb - 1), jnp.clip(cy, 0, hb - 1)], axis=-1
-            )
-            nnf, dbest = improve(
-                (nnf, dbest), cand, jnp.ones((ha, wa), dtype=bool)
-            )
-        return (nnf, dbest), None
+        # roll by dynamic shift: roll(a, s) == gather rows (i - s) mod n
+        src = jnp.roll(nnf, shift=(jy, jx), axis=(0, 1))
+        cand_x = src[..., 0] + jx
+        cand_y = src[..., 1] + jy
+        valid = (
+            (xs - jx >= 0) & (xs - jx < wa)
+            & (ys - jy >= 0) & (ys - jy < ha)
+            & (cand_x >= 0) & (cand_x < wb)
+            & (cand_y >= 0) & (cand_y < hb)
+        )
+        cand = jnp.stack([cand_x, cand_y], axis=-1)
+        return improve((nnf, dbest), cand, valid), None
+
+    mags_arr = jnp.asarray(mags if mags else [0], dtype=jnp.int32)
+    all_true = jnp.ones((ha, wa), dtype=bool)
+
+    def rs_step(state, mag_u):
+        mag, u = mag_u
+        nnf, dbest = state
+        xb, yb = nnf[..., 0], nnf[..., 1]
+        xmin = jnp.maximum(xb - mag, 0)
+        xmax = jnp.minimum(xb + mag + 1, wb)
+        ymin = jnp.maximum(yb - mag, 0)
+        ymax = jnp.minimum(yb + mag + 1, hb)
+        cx = xmin + (u[..., 0] * (xmax - xmin).astype(jnp.float32)).astype(jnp.int32)
+        cy = ymin + (u[..., 1] * (ymax - ymin).astype(jnp.float32)).astype(jnp.int32)
+        cand = jnp.stack(
+            [jnp.clip(cx, 0, wb - 1), jnp.clip(cy, 0, hb - 1)], axis=-1
+        )
+        live = mag > 0
+        return improve((nnf, dbest), cand, all_true & live), None
+
+    def body(state, u_iter):
+        state, _ = jax.lax.scan(prop_step, state, jump_offsets)
+        state, _ = jax.lax.scan(rs_step, state, (mags_arr, u_iter))
+        return state, None
 
     (nnf, dbest), _ = jax.lax.scan(body, (nnf0, d0), uniforms)
     return nnf, dbest

@@ -71,12 +71,20 @@ def transfer_pair(
     config: Config = Config(),
     key: jax.Array | None = None,
     return_intermediates: bool = False,
+    warm_start: dict | None = None,
+    return_state: bool = False,
 ):
     """Run the full progressive transfer for one image pair.
 
     cnt/stl: uint8 BGR arrays (already capped to max_size by the caller).
     Returns uint8 BGR result at the content's resolution — plus a per-level
     trace dict when ``return_intermediates`` (the reference's ENABLE_VIS).
+
+    ``warm_start``: optional {"ann", "bnn"} NNFs at conv5_1 dims (from a
+    previous, same-geometry frame) replacing the scaled-identity level-0
+    init — the video warm-start path (BASELINE config #5; the reference is
+    stateless per pair).  ``return_state``: also return that dict for the
+    next frame.
     """
     if key is None:
         key = jax.random.PRNGKey(7)
@@ -129,8 +137,12 @@ def transfer_pair(
 
         # 1. NNF lifecycle
         if l == 0:
-            ann = nnf.init_scaled_identity(ah, aw, bh, bw)
-            bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
+            if warm_start is not None:
+                ann = jnp.asarray(warm_start["ann"])
+                bnn = jnp.asarray(warm_start["bnn"])
+            else:
+                ann = nnf.init_scaled_identity(ah, aw, bh, bw)
+                bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
         else:
             ann = nnf.upsample(state.ann, ah, aw, bh, bw)
             bnn = nnf.upsample(state.bnn, bh, bw, ah, aw)
@@ -150,6 +162,8 @@ def transfer_pair(
             fs_n, fc_n, bnn, k_ba,
             iters=config.pm_iters, rs_max=rs, patch_size=config.patch_size,
         )
+        if l == 0:
+            coarse_state = {"ann": ann, "bnn": bnn}
 
         # 3. BDS guidance image + feature vote -> matching error (ref :291-318)
         down_cnt = cnt_pyr[l]
@@ -225,6 +239,32 @@ def transfer_pair(
             ann=ann, bnn=bnn, refined=refined, cnt_feats=cnt_feats_next
         )
 
+    outs = [state.refined]
     if return_intermediates:
-        return state.refined, trace
-    return state.refined
+        outs.append(trace)
+    if return_state:
+        outs.append(coarse_state)
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def transfer_sequence(
+    params: dict,
+    frames,
+    stl_bgr_u8,
+    bds_weight: float,
+    config: Config = Config(),
+    key: jax.Array | None = None,
+):
+    """Transfer a sequence of same-size content frames against one style,
+    warm-starting each frame's level-0 NNFs from the previous frame
+    (BASELINE config #5).  Yields uint8 BGR results."""
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    state = None
+    for i, frame in enumerate(frames):
+        key, fkey = jax.random.split(key)
+        out, state = transfer_pair(
+            params, frame, stl_bgr_u8, bds_weight, config, key=fkey,
+            warm_start=state, return_state=True,
+        )
+        yield out
