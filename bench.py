@@ -21,7 +21,7 @@ import numpy as np
 from nct_tpu.config import Config
 from nct_tpu.io import cap_max_size, imread_bgr
 from nct_tpu.models import vgg19
-from nct_tpu.pipeline import transfer_pair
+from nct_tpu.pipeline import transfer_pair_jit
 
 DEMO = "/root/reference/demo/example/in"
 BASELINE_MPS = (700 * 466 / 1e6) / 2.0  # 700px pair in 2 s (BASELINE.md)
@@ -47,8 +47,11 @@ def main() -> None:
     config = Config()
     key = jax.random.PRNGKey(7)
 
+    cnt_d = jax.device_put(cnt)
+    stl_d = jax.device_put(stl)
+
     def run():
-        out = transfer_pair(params, cnt, stl, 2.0, config, key=key)
+        out = transfer_pair_jit(params, cnt_d, stl_d, 2.0, key, config)
         return jax.block_until_ready(out)
 
     run()  # warmup: compile every per-level program

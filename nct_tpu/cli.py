@@ -13,7 +13,6 @@ TPU-specific additions: ``--weights`` points at a converted VGG-19 npz
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 
@@ -23,7 +22,7 @@ import numpy as np
 from nct_tpu import io
 from nct_tpu.config import Config
 from nct_tpu.models import vgg19
-from nct_tpu.pipeline import transfer_pair
+from nct_tpu.pipeline import transfer_pair_jit
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -81,26 +80,35 @@ def main(argv: list[str] | None = None) -> int:
     pairs = io.read_pairs(os.path.join(args.input, "pairs.txt"))
     if args.pairs_limit is not None:
         pairs = pairs[: args.pairs_limit]
-    for pair in pairs:
-        cnt_path = os.path.join(args.input, pair.content)
-        stl_path = os.path.join(args.input, pair.style)
-        try:
-            cnt = io.cap_max_size(io.imread_bgr(cnt_path), config.max_size)
-            stl = io.cap_max_size(io.imread_bgr(stl_path), config.max_size)
-        except OSError as e:  # ref continues past unreadable images (:484-497)
-            print(f"error: failed reading pair ({e}); skipping")
+
+    # Native C++ prefetch loader (decode+resize off the driver thread);
+    # falls back to PIL inside PairLoader when the .so is unavailable.
+    from nct_tpu.data import PairLoader
+
+    loader = PairLoader(
+        [
+            (os.path.join(args.input, p.content),
+             os.path.join(args.input, p.style))
+            for p in pairs
+        ],
+        max_size=config.max_size,
+    )
+    for pair, item in zip(pairs, loader):
+        if item is None:  # ref continues past unreadable images (:484-497)
+            print(f"error: failed reading pair {pair.content}/{pair.style}; "
+                  "skipping")
             continue
+        cnt, stl = item
         print(f"content: {pair.content} {cnt.shape[1]}x{cnt.shape[0]}, "
               f"style: {pair.style} {stl.shape[1]}x{stl.shape[0]}, "
               f"bds: {pair.bds_weight}")
 
-        pair_config = dataclasses.replace(
-            config, reverse_weight=pair.bds_weight
-        )
+        # The per-pair BDS weight rides in as a traced scalar so pairs that
+        # differ only in weight (the BDS sweep) share one compiled program.
         start = time.perf_counter()
-        result = transfer_pair(
-            params, cnt, stl, pair.bds_weight, pair_config,
-            key=jax.random.PRNGKey(args.seed),
+        result = transfer_pair_jit(
+            params, cnt, stl, pair.bds_weight,
+            jax.random.PRNGKey(args.seed), config,
         )
         result = np.asarray(jax.block_until_ready(result))
         elapsed = time.perf_counter() - start

@@ -21,6 +21,7 @@ bucket-and-pad is the batching strategy on top).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -245,6 +246,23 @@ def transfer_pair(
     if return_state:
         outs.append(coarse_state)
     return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def transfer_pair_jit(
+    params, cnt_bgr_u8, stl_bgr_u8, bds_weight, key,
+    config: Config = Config(),
+):
+    """Whole-pipeline single-program entry point.
+
+    The reference pays ~40 kernel launches per level (main.cu:179-428);
+    tracing the full 5-level loop into ONE XLA program per input geometry
+    eliminates every dispatch and host round-trip, and — crucially under
+    remote-compile setups — costs one compilation instead of ~40.
+    """
+    return transfer_pair(
+        params, cnt_bgr_u8, stl_bgr_u8, bds_weight, config, key=key
+    )
 
 
 def transfer_sequence(
