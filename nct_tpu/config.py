@@ -46,8 +46,14 @@ class Config:
     wls_cg_iters: int = 400        # WLS PCG budget (ref uses a direct solver)
 
     # --- TPU execution knobs (no reference equivalent) -------------------
-    feature_dtype: str = "float32"  # "bfloat16" halves PatchMatch HBM traffic
+    feature_dtype: str = "bfloat16"  # halves matcher HBM traffic; f32 accum
     kmeans_iters: int = 11          # ref FLANN KMeansIndexParams(.., 11, ..)
+    # Levels [0, exact_nn_levels) use the exhaustive streaming-matmul NN
+    # search (ops/exact_nn.py) — the global optimum of the reference's
+    # patch metric on the MXU; finer levels run PatchMatch seeded by the
+    # upsampled exact field.  4 = conv5_1..conv2_1 exact, conv1_1 PatchMatch.
+    exact_nn_levels: int = 3
+    pm_iters_fine: int = 4          # PatchMatch iters when seeded by exact NN
 
     def pm_search_radii(self, max_len: int) -> list[int]:
         """Per-level random-search radii (ref main.cu:77-83)."""

@@ -98,10 +98,20 @@ def bds_vote(
     val_all = jnp.concatenate(values)
     valid_all = jnp.concatenate(valids).astype(jnp.float32)
 
+    # Sort scatter targets once — TPU scatter-adds with unsorted duplicate
+    # indices serialize; sorted indices take the fast segment path.
+    order = jnp.argsort(flat_all)
+    sorted_ids = flat_all[order]
+    wv = (valid_all * wb_w)[order]
     acc_b = jnp.zeros((ha * wa + 1, p), dtype=jnp.float32)
-    acc_b = acc_b.at[flat_all].add(val_all * (valid_all * wb_w)[:, None])
+    acc_b = acc_b.at[sorted_ids].add(
+        val_all[order] * wv[:, None],
+        indices_are_sorted=True, unique_indices=False,
+    )
     wacc_b = jnp.zeros((ha * wa + 1,), dtype=jnp.float32)
-    wacc_b = wacc_b.at[flat_all].add(valid_all * wb_w)
+    wacc_b = wacc_b.at[sorted_ids].add(
+        wv, indices_are_sorted=True, unique_indices=False,
+    )
 
     acc = acc + acc_b[: ha * wa].reshape(ha, wa, p)
     wacc = wacc + wacc_b[: ha * wa].reshape(ha, wa)

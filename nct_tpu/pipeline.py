@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from nct_tpu.config import Config
 from nct_tpu.models import vgg19
-from nct_tpu.ops import bds, features, nnf, patchmatch, resize
+from nct_tpu.ops import bds, exact_nn, features, nnf, patchmatch, resize
 from nct_tpu.ops.color import bgr_u8_to_lab_u8, unit_lab_to_bgr_u8
 from nct_tpu.solve import cluster, knn, stats
 from nct_tpu.solve.nonlocal_solve import solve_nonlocal
@@ -136,33 +136,47 @@ def transfer_pair(
         ah, aw = cnt_dims[l]
         bh, bw = stl_dims[l]
 
-        # 1. NNF lifecycle
-        if l == 0:
-            if warm_start is not None:
-                ann = jnp.asarray(warm_start["ann"])
-                bnn = jnp.asarray(warm_start["bnn"])
-            else:
-                ann = nnf.init_scaled_identity(ah, aw, bh, bw)
-                bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
-        else:
-            ann = nnf.upsample(state.ann, ah, aw, bh, bw)
-            bnn = nnf.upsample(state.bnn, bh, bw, ah, aw)
-
-        # 2. normalize + PatchMatch both directions (ref :253-284)
+        # 1-2. correspondence search (ref :229-284).  Coarse levels: exact
+        # streaming-matmul NN (globally optimal for the same metric); fine
+        # levels: PatchMatch seeded by the upsampled previous-level field.
+        fdt = jnp.bfloat16 if bf16 else jnp.float32
         fc = state.cnt_feats[taps[l]].astype(jnp.float32)
         fs = stl_feats[taps[l]].astype(jnp.float32)
         fc_n, _ = features.l2_normalize(fc)
         fs_n, _ = features.l2_normalize(fs)
-        key, k_ab, k_ba = jax.random.split(key, 3)
-        rs = max(int(ranges[l]), 1)
-        ann, _ = patchmatch.patchmatch(
-            fc_n, fs_n, ann, k_ab,
-            iters=config.pm_iters, rs_max=rs, patch_size=config.patch_size,
-        )
-        bnn, _ = patchmatch.patchmatch(
-            fs_n, fc_n, bnn, k_ba,
-            iters=config.pm_iters, rs_max=rs, patch_size=config.patch_size,
-        )
+        # bf16 halves the HBM traffic of the gather-bound candidate
+        # evaluations; all dot products still accumulate in f32.
+        fc_n = fc_n.astype(fdt)
+        fs_n = fs_n.astype(fdt)
+        use_exact = l < config.exact_nn_levels
+        if use_exact:
+            ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
+            bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
+        else:
+            if l == 0:
+                if warm_start is not None:
+                    ann = jnp.asarray(warm_start["ann"])
+                    bnn = jnp.asarray(warm_start["bnn"])
+                else:
+                    ann = nnf.init_scaled_identity(ah, aw, bh, bw)
+                    bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
+            else:
+                ann = nnf.upsample(state.ann, ah, aw, bh, bw)
+                bnn = nnf.upsample(state.bnn, bh, bw, ah, aw)
+            key, k_ab, k_ba = jax.random.split(key, 3)
+            rs = max(int(ranges[l]), 1)
+            pm_iters = (
+                config.pm_iters_fine
+                if config.exact_nn_levels > 0 else config.pm_iters
+            )
+            ann, _ = patchmatch.patchmatch(
+                fc_n, fs_n, ann, k_ab,
+                iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
+            )
+            bnn, _ = patchmatch.patchmatch(
+                fs_n, fc_n, bnn, k_ba,
+                iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
+            )
         if l == 0:
             coarse_state = {"ann": ann, "bnn": bnn}
 
@@ -232,10 +246,16 @@ def transfer_pair(
                 "refined": refined,
             })
 
-        # 9. progressive feedback (ref main.cu:424-427)
+        # 9. progressive feedback (ref main.cu:424-427).  The reference
+        # re-extracts all 5 taps every level but only ever reads tap l+1
+        # from the l-th re-extraction; extracting just that tap turns the
+        # re-extraction cost from 4 full forwards into progressively
+        # SHALLOWER ones (conv1_1 re-extraction is a single conv).
         cnt_feats_next = state.cnt_feats
         if l < numlayer - 1:
-            cnt_feats_next = vgg19.features_jit(params, refined, taps, bf16)
+            cnt_feats_next = vgg19.features_jit(
+                params, refined, (taps[l + 1],), bf16
+            )
         state = PipelineState(
             ann=ann, bnn=bnn, refined=refined, cnt_feats=cnt_feats_next
         )

@@ -58,7 +58,7 @@ def knn_graph(
     pixel_labels: jnp.ndarray,
     candidates: jnp.ndarray,
     k_num: int = 8,
-    chunk: int = 1024,
+    chunk: int = 2048,
 ):
     """Build the nonlocal k-NN graph.
 
@@ -88,23 +88,25 @@ def knn_graph(
         cand_col = colors[cand_ids]            # [B, M, 3]
         diff = cand_col - qc[:, None, :]
         d = jnp.sum(diff * diff, axis=-1)      # [B, M] squared L2
-        # Self-matches and duplicate candidate ids must not be neighbours:
-        # drop self by distance-inf, kill duplicates by keeping only the
-        # first occurrence of each id (stable top-k on (d, position)).
+        # Self-matches must not be neighbours; drop via distance-inf.
         d = jnp.where(cand_ids == qi[:, None], jnp.inf, d)
-        neg, top_idx = jax.lax.top_k(-d, k_num + 1)
-        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=1)
-        top_d = -neg
-        # Mask duplicates among the k+1 shortlist (same id appearing twice).
-        dup = jnp.zeros(top_ids.shape, dtype=bool)
-        for j in range(1, k_num + 1):
-            dup = dup.at[:, j].set(
-                jnp.any(top_ids[:, :j] == top_ids[:, j : j + 1], axis=1)
-            )
-        top_d = jnp.where(dup, jnp.inf, top_d)
-        neg2, sel = jax.lax.top_k(-top_d, k_num)
-        ids = jnp.take_along_axis(top_ids, sel, axis=1)
-        dists = -neg2
+        # k smallest by iterative argmin extraction — O(k) cheap VPU
+        # reductions instead of a full [B, M] sort (lax.top_k lowers to a
+        # sort, which is slow on TPU).  Duplicate candidate ids are masked
+        # out as they are selected, which also dedups repeated entries.
+        b = d.shape[0]
+        work = d
+        ids_list, d_list = [], []
+        for _ in range(k_num):
+            j = jnp.argmin(work, axis=1)                      # first min
+            dj = jnp.take_along_axis(work, j[:, None], 1)[:, 0]
+            cid = jnp.take_along_axis(cand_ids, j[:, None], 1)[:, 0]
+            ids_list.append(cid)
+            d_list.append(dj)
+            # mask every candidate slot holding this id (dedup + advance)
+            work = jnp.where(cand_ids == cid[:, None], jnp.inf, work)
+        ids = jnp.stack(ids_list, axis=1)
+        dists = jnp.stack(d_list, axis=1)
         weights = jnp.where(
             jnp.isfinite(dists), jnp.exp(1.0 - dists / 3.0), 0.0
         )

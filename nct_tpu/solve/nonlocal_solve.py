@@ -132,6 +132,23 @@ def make_nonlocal_system(
     k = nbr_ids.shape[1]
     pair_w = nbr_w.astype(jnp.float32) * (nonlocal_weight / k)
 
+    # The scatter indices are FIXED across all CG iterations, so sort them
+    # once here; inside the loop the scatter-add then runs on sorted
+    # indices (TPU scatters with unsorted duplicate indices serialize).
+    flat_ids = nbr_ids.reshape(-1)
+    order = jnp.argsort(flat_ids)
+    sorted_ids = flat_ids[order]
+
+    def nl_apply_sorted(u):
+        uj = u[nbr_ids]                                    # [N, k, C]
+        diff = (u[:, None, :] - uj) * pair_w[..., None]    # [N, k, C]
+        out = jnp.sum(diff, axis=1)
+        contrib = diff.reshape(n * k, -1)[order]
+        out = out.at[sorted_ids].add(
+            -contrib, indices_are_sorted=True, unique_indices=False
+        )
+        return out
+
     def operator(x):
         a, b = x
         lin = s * a + b
@@ -140,8 +157,8 @@ def make_nonlocal_system(
         # local rows appear twice per edge -> factor 2 (see module docstring)
         loc_a = 2.0 * laplacian_apply(a, gx2, gy2)
         loc_b = 2.0 * laplacian_apply(b, gx2, gy2)
-        nl_a = nonlocal_apply(a.reshape(n, 3), nbr_ids, pair_w).reshape(h, w, 3)
-        nl_b = nonlocal_apply(b.reshape(n, 3), nbr_ids, pair_w).reshape(h, w, 3)
+        nl_a = nl_apply_sorted(a.reshape(n, 3)).reshape(h, w, 3)
+        nl_b = nl_apply_sorted(b.reshape(n, 3)).reshape(h, w, 3)
         return (data_a + loc_a + nl_a, data_b + loc_b + nl_b)
 
     rhs = (d2 * s * r, d2 * r)

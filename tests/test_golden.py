@@ -1,0 +1,82 @@
+"""Golden-image regression vs the reference's published outputs.
+
+The strict SSIM >= 0.98 gate (BASELINE.md) requires the pretrained
+VGG-19 caffemodel, which is not downloadable in this environment — the
+backbone falls back to seeded random filters, which still produce valid
+correspondences but weaker semantics.  So this harness always runs the
+structural checks (output shape, movement toward the golden palette) and
+enforces the strict gate only when NCT_VGG_WEIGHTS points at a converted
+npz (tools/convert_vgg19.py).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from nct_tpu.config import Config
+from nct_tpu.io import cap_max_size, imread_bgr
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import transfer_pair
+from nct_tpu.utils.ssim import ssim
+
+EXAMPLE = "/root/reference/demo/example"
+WEIGHTS = os.environ.get("NCT_VGG_WEIGHTS")
+RUN_FULL = os.environ.get("NCT_GOLDEN_FULL") == "1"
+
+
+@pytest.fixture(scope="module")
+def golden_setup():
+    if not os.path.isdir(EXAMPLE):
+        pytest.skip("reference demo assets unavailable")
+    params = (
+        vgg19.load_params(WEIGHTS) if WEIGHTS else vgg19.init_params()
+    )
+    return params
+
+
+def test_ssim_self_is_one():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ssim_detects_differences():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    other = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    assert ssim(img, other) < 0.2
+
+
+@pytest.mark.skipif(
+    not RUN_FULL and not WEIGHTS,
+    reason="set NCT_GOLDEN_FULL=1 (structural) or NCT_VGG_WEIGHTS (strict)",
+)
+def test_golden_pair0(golden_setup):
+    params = golden_setup
+    size = 1000 if WEIGHTS else 160     # small images without real weights
+    cnt = cap_max_size(imread_bgr(os.path.join(EXAMPLE, "in/in0.png")), size)
+    stl = cap_max_size(imread_bgr(os.path.join(EXAMPLE, "in/tar0.png")), size)
+    gold = imread_bgr(os.path.join(EXAMPLE, "res/in0_tar0_2.00.png"))
+
+    out = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, Config(),
+                      key=jax.random.PRNGKey(7))
+    )
+    assert out.shape == cnt.shape
+
+    if WEIGHTS:
+        # strict gate at full resolution (BASELINE.md fidelity contract)
+        assert gold.shape == out.shape
+        assert ssim(out, gold) >= 0.98
+    else:
+        # structural: result must be closer to the golden than the source is
+        from nct_tpu.ops.resize import resize_bilinear
+
+        gold_r = np.asarray(
+            resize_bilinear(gold, out.shape[0], out.shape[1])
+        )
+        mae_out = np.abs(out.astype(int) - gold_r.astype(int)).mean()
+        mae_src = np.abs(cnt.astype(int) - gold_r.astype(int)).mean()
+        assert mae_out < mae_src * 0.75
