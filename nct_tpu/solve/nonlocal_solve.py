@@ -157,8 +157,14 @@ def make_nonlocal_system(
         # local rows appear twice per edge -> factor 2 (see module docstring)
         loc_a = 2.0 * laplacian_apply(a, gx2, gy2)
         loc_b = 2.0 * laplacian_apply(b, gx2, gy2)
-        nl_a = nl_apply_sorted(a.reshape(n, 3)).reshape(h, w, 3)
-        nl_b = nl_apply_sorted(b.reshape(n, 3)).reshape(h, w, 3)
+        # one 6-channel graph apply: a and b share indices, so stacking
+        # halves the gather/scatter count per CG iteration
+        ab = jnp.concatenate(
+            [a.reshape(n, 3), b.reshape(n, 3)], axis=1
+        )
+        nl = nl_apply_sorted(ab)
+        nl_a = nl[:, :3].reshape(h, w, 3)
+        nl_b = nl[:, 3:].reshape(h, w, 3)
         return (data_a + loc_a + nl_a, data_b + loc_b + nl_b)
 
     rhs = (d2 * s * r, d2 * r)
