@@ -13,15 +13,17 @@ Layout (TPU-native analogue of the reference layer map, see SURVEY.md):
                         (ref: GeneralizedPatchMatch.cu, ColorTransfer.cpp)
   nct_tpu.models     -- VGG-19 feature extractor + weight conversion
                         (ref: Classifier.{h,cpp} + vendored Caffe)
-  nct_tpu.solvers    -- matrix-free CG/PCG linear solvers
-                        (ref: SparseSolver_GPU.cu, SparseSolver_CPU.cpp)
+  nct_tpu.solve      -- clustering/kNN + matrix-free CG/PCG colour solvers
+                        (ref: ColorTransfer.cpp, SparseSolver_{GPU,CPU})
   nct_tpu.pipeline   -- 5-level progressive orchestrator (ref: main.cu)
   nct_tpu.cli        -- pairs.txt batch CLI (ref: main.cu CLI)
   nct_tpu.nn         -- config-driven NN graph framework (ref: Caffe Net/Layer)
-  nct_tpu.parallel   -- mesh / sharding / data-parallel training
+  nct_tpu.train      -- solvers/LR policies/snapshot-restore (ref: Caffe Solver)
+  nct_tpu.parallel   -- mesh / sharding / bucketing / data-parallel step
                         (ref: Caffe P2PSync, rebuilt on jax.sharding)
-  nct_tpu.data       -- prefetching data pipeline (ref: Caffe DataReader)
-  nct_tpu.utils      -- timers, logging, visualization
+  nct_tpu.data       -- native C++ decode/resize/prefetch pipeline
+                        (ref: OpenCV imread path + Caffe DataReader)
+  nct_tpu.utils      -- timers, profiler hooks, SSIM, visualization
 """
 
 __version__ = "0.1.0"
