@@ -16,6 +16,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nct_tpu.config import Config
@@ -52,12 +53,19 @@ def main() -> None:
 
     def run():
         out = transfer_pair_jit(params, cnt_d, stl_d, 2.0, key, config)
-        return jax.block_until_ready(out)
+        # block_until_ready is a no-op on relayed backends; a scalar D2H
+        # readout is the only reliable completion barrier.
+        return float(jnp.sum(out.astype(jnp.float32)))
 
-    run()  # warmup: compile every per-level program
+    run()  # warmup: compile + drain
+    # subtract the fixed readout/rpc latency via a trivial program
+    tiny = jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.float32))
+    t0 = time.perf_counter()
+    float(jnp.sum(tiny))
+    readout = time.perf_counter() - t0
     t0 = time.perf_counter()
     run()
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - readout, 1e-3)
 
     mp = cnt.shape[0] * cnt.shape[1] / 1e6
     mps = mp / dt

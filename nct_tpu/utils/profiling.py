@@ -15,6 +15,21 @@ import time
 from dataclasses import dataclass, field
 
 import jax
+import jax.numpy as jnp
+
+
+def device_sync(x) -> None:
+    """Hard completion barrier.
+
+    ``block_until_ready`` is a no-op on relayed/remote PJRT backends (the
+    buffer handle reports ready before the device finishes), so the only
+    reliable barrier is a scalar readout that the host must wait for.
+    """
+    for leaf in jax.tree_util.tree_leaves(x):
+        jax.block_until_ready(leaf)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
 @dataclass
@@ -31,7 +46,7 @@ class StageTimer:
             yield
         finally:
             for r in sync_results:
-                jax.block_until_ready(r)
+                device_sync(r)
             dt = time.perf_counter() - start
             self.spans[name] = self.spans.get(name, 0.0) + dt
             if self.verbose:
@@ -41,7 +56,7 @@ class StageTimer:
         """Run fn, block on its output, and record the span."""
         start = time.perf_counter()
         out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        device_sync(out)
         dt = time.perf_counter() - start
         self.spans[name] = self.spans.get(name, 0.0) + dt
         if self.verbose:

@@ -30,12 +30,28 @@ LEVELS = {   # (ah, aw, bh, bw, C, rs)
 REPS = 3
 
 
+def _sync(x):
+    """Force completion: block_until_ready is a NO-OP on the axon relay
+    backend, so a scalar D2H readout is the only real barrier."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timed(name, fn, *args):
-    out = jax.block_until_ready(fn(*args))   # compile
+    """Differencing timer: run 1 rep and 1+REPS reps, report the slope —
+    cancels both the enqueue overhead and the ~0.5 s relay readout."""
+    out = fn(*args)
+    _sync(out)                                # compile + drain
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = jax.block_until_ready(fn(*args))
-    dt = (time.perf_counter() - t0) / REPS
+    out = fn(*args)
+    _sync(out)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(1 + REPS):
+        out = fn(*args)
+    _sync(out)
+    t2 = time.perf_counter() - t0
+    dt = max(t2 - t1, 0.0) / REPS
     print(f"{name}: {dt*1000:.1f} ms")
     return out
 
