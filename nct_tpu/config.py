@@ -52,7 +52,7 @@ class Config:
     # search (ops/exact_nn.py) — the global optimum of the reference's
     # patch metric on the MXU; finer levels run PatchMatch seeded by the
     # upsampled exact field.  4 = conv5_1..conv2_1 exact, conv1_1 PatchMatch.
-    exact_nn_levels: int = 3
+    exact_nn_levels: int = 4
     pm_iters_fine: int = 4          # PatchMatch iters when seeded by exact NN
 
     def pm_search_radii(self, max_len: int) -> list[int]:

@@ -82,12 +82,28 @@ def knn_graph(
     q_ids = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
     n_chunks = (n + pad) // chunk
 
+    # Pre-gather每 cluster's candidate colours ONCE ([K, M, 3]); chunks then
+    # gather whole per-cluster rows (M*3 contiguous floats) by label instead
+    # of 4M scattered 12-byte rows — the difference between DMA-friendly
+    # and scalarized gathers on TPU.
+    cand_colors = colors[candidates]           # [K, M, 3]
+    cand_sq = jnp.sum(cand_colors * cand_colors, axis=-1)   # [K, M]
+
     def one_chunk(args):
         qc, ql, qi = args                      # [B,3], [B], [B]
-        cand_ids = candidates[ql]              # [B, M]
-        cand_col = colors[cand_ids]            # [B, M, 3]
-        diff = cand_col - qc[:, None, :]
-        d = jnp.sum(diff * diff, axis=-1)      # [B, M] squared L2
+        cand_ids = candidates[ql]              # [B, M] (row gather)
+        cc = cand_colors[ql]                   # [B, M, 3] (row gather)
+        # ||q-c||^2 = ||c||^2 - 2 q.c + ||q||^2 (exact value needed for the
+        # exp(1-d/3) weights); clamp tiny negative cancellation residue.
+        cross = jax.lax.dot_general(
+            qc[:, None, :], cc,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+        q_sq = jnp.sum(qc * qc, axis=-1)
+        d = jnp.maximum(
+            cand_sq[ql] - 2.0 * cross + q_sq[:, None], 0.0
+        )                                                # [B, M]
         # Self-matches must not be neighbours; drop via distance-inf.
         d = jnp.where(cand_ids == qi[:, None], jnp.inf, d)
         # k smallest by iterative argmin extraction — O(k) cheap VPU

@@ -132,21 +132,49 @@ def make_nonlocal_system(
     k = nbr_ids.shape[1]
     pair_w = nbr_w.astype(jnp.float32) * (nonlocal_weight / k)
 
-    # The scatter indices are FIXED across all CG iterations, so sort them
-    # once here; inside the loop the scatter-add then runs on sorted
-    # indices (TPU scatters with unsorted duplicate indices serialize).
-    flat_ids = nbr_ids.reshape(-1)
-    order = jnp.argsort(flat_ids)
-    sorted_ids = flat_ids[order]
+    # Gather-only symmetric apply.  Scatter-adds dominate the CG iteration
+    # on TPU even with sorted indices, so the directed-pair transpose is
+    # precomputed ONCE as a fixed-width in-edge table: in_tab[j] lists the
+    # pair slots whose target is j (capped at IN_MAX; overflow pairs have
+    # their weight zeroed on BOTH sides, keeping the operator symmetric
+    # PSD).  Every CG iteration is then two gathers and zero scatters.
+    in_max = 4 * k
+    flat_t = nbr_ids.reshape(-1)                       # pair p -> target
+    order = jnp.argsort(flat_t)
+    sorted_t = flat_t[order]
+    # rank of each pair within its target segment (sorted order)
+    pos = jnp.arange(n * k, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_t[1:] != sorted_t[:-1]]
+    )
+    seg_first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0)
+    )
+    rank = pos - seg_first
+    keep = rank < in_max
+    # in_tab[j, r] = pair slot (into the flat pair axis) or sentinel n*k.
+    # Kept (target, rank) pairs are unique; dropped pairs write the sentinel
+    # so a .min scatter keeps whatever real slot lands there.
+    in_tab = jnp.full((n, in_max), n * k, dtype=jnp.int32)
+    in_tab = in_tab.at[
+        jnp.where(keep, sorted_t, n - 1),
+        jnp.where(keep, rank, in_max - 1),
+    ].min(jnp.where(keep, order, n * k).astype(jnp.int32))
+    # zero overflowed pairs on the out side too (symmetry)
+    keep_by_pair = jnp.zeros((n * k,), bool).at[order].set(keep)
+    pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
+    pair_w_flat = pair_w.reshape(n * k)
 
-    def nl_apply_sorted(u):
+    def nl_apply(u):
+        """u: [N, C] -> sum_j w_ij (u_i - u_j) over both edge directions."""
         uj = u[nbr_ids]                                    # [N, k, C]
         diff = (u[:, None, :] - uj) * pair_w[..., None]    # [N, k, C]
         out = jnp.sum(diff, axis=1)
-        contrib = diff.reshape(n * k, -1)[order]
-        out = out.at[sorted_ids].add(
-            -contrib, indices_are_sorted=True, unique_indices=False
+        dpad = jnp.concatenate(
+            [diff.reshape(n * k, -1),
+             jnp.zeros((1, u.shape[1]), diff.dtype)], axis=0
         )
+        out = out - jnp.sum(dpad[in_tab], axis=1)          # transpose side
         return out
 
     def operator(x):
@@ -158,11 +186,11 @@ def make_nonlocal_system(
         loc_a = 2.0 * laplacian_apply(a, gx2, gy2)
         loc_b = 2.0 * laplacian_apply(b, gx2, gy2)
         # one 6-channel graph apply: a and b share indices, so stacking
-        # halves the gather/scatter count per CG iteration
+        # halves the gather count per CG iteration
         ab = jnp.concatenate(
             [a.reshape(n, 3), b.reshape(n, 3)], axis=1
         )
-        nl = nl_apply_sorted(ab)
+        nl = nl_apply(ab)
         nl_a = nl[:, :3].reshape(h, w, 3)
         nl_b = nl[:, 3:].reshape(h, w, 3)
         return (data_a + loc_a + nl_a, data_b + loc_b + nl_b)
