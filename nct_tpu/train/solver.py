@@ -109,16 +109,43 @@ class Solver:
         return float(loss)
 
     def solve(self, batches: Iterable) -> float:
-        """Run up to max_iter (ref Solver::Solve), snapshotting on schedule."""
+        """Run up to max_iter (ref Solver::Solve), snapshotting on schedule.
+
+        SIGINT/SIGHUP during the loop trigger a snapshot-then-stop at the
+        next iteration boundary — the SignalHandler behaviour of the
+        reference's training stack (include/caffe/util/signal_handler.h).
+        """
+        import signal
+
+        stop_requested = []
+
+        def _on_signal(signum, frame):
+            stop_requested.append(signum)
+
+        old_handlers = {}
+        for sig in (signal.SIGINT, signal.SIGHUP):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:   # non-main thread
+                pass
+
         loss = float("nan")
-        for batch in batches:
-            if self.iter >= self.param.max_iter:
-                break
-            loss = self.step(batch)
-            if self.param.display and self.iter % self.param.display == 0:
-                print(f"Iteration {self.iter}, loss = {loss}")
-            if self.param.snapshot and self.iter % self.param.snapshot == 0:
-                self.snapshot()
+        try:
+            for batch in batches:
+                if self.iter >= self.param.max_iter:
+                    break
+                if stop_requested:
+                    path = self.snapshot()
+                    print(f"signal received; snapshotted to {path}")
+                    break
+                loss = self.step(batch)
+                if self.param.display and self.iter % self.param.display == 0:
+                    print(f"Iteration {self.iter}, loss = {loss}")
+                if self.param.snapshot and self.iter % self.param.snapshot == 0:
+                    self.snapshot()
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         return loss
 
     # --- checkpointing (ref Solver::Snapshot/Restore) --------------------

@@ -7,6 +7,14 @@ Replaces the reference's runtime protobuf weight loading (net.cpp:760-824)
 with a one-time offline conversion; nct_tpu loads the npz directly.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 import sys
 
 from nct_tpu.models.caffe_io import caffemodel_to_npz

@@ -11,6 +11,13 @@ Usage: python tools/layer_time.py <deploy.prototxt> [H W] [--weights npz]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import sys
 import time
 

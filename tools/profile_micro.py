@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """Micro-profiles: chip calibration + piecewise timing of the slow stages."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 import functools
 import time
 

@@ -7,6 +7,14 @@ Run on the TPU (no JAX_PLATFORMS override).  Each stage compiles once and
 is then timed over `reps` executions.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 import time
 
 import jax
