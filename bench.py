@@ -44,7 +44,8 @@ def load_pair():
 
 def main() -> None:
     cnt, stl = load_pair()
-    params = vgg19.init_params()
+    # device_put once: numpy params would re-upload ~80 MB per call
+    params = jax.device_put(vgg19.init_params())
     config = Config()
     key = jax.random.PRNGKey(7)
 

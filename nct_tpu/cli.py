@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         print("warning: no --model given; using seeded random VGG-19 "
               "filters (correspondence quality is reduced)")
         params = vgg19.init_params()
+    params = jax.device_put(params)  # upload weights once, not per pair
 
     pairs = io.read_pairs(os.path.join(args.input, "pairs.txt"))
     if args.pairs_limit is not None:

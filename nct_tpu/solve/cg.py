@@ -47,11 +47,19 @@ def cg_solve(
     iters: int,
     tol: float = 1e-6,
     preconditioner: Callable | None = None,
+    dynamic: bool = True,
 ):
     """Solve operator(x) = b.  Returns (x, final ||r||^2).
 
     operator/preconditioner: pytree -> pytree linear maps (operator must be
     SPD, preconditioner an approximation of its inverse).
+
+    ``dynamic=True`` runs a ``lax.while_loop`` that genuinely stops at
+    convergence (``||r||^2 <= tol^2 ||b||^2``) or at ``iters`` — the
+    reference CG also early-exits (SparseSolver_GPU.cu:119-159).
+    ``dynamic=False`` uses a fixed-trip ``lax.scan`` with masked updates
+    (identical result, deterministic cost — useful under reverse-mode AD,
+    which cannot differentiate through while_loop).
     """
     if preconditioner is None:
         preconditioner = lambda r: r  # noqa: E731
@@ -64,23 +72,43 @@ def cg_solve(
     b_norm2 = _dot(b, b)
     threshold = jnp.asarray(tol, jnp.float32) ** 2 * b_norm2
 
-    def body(state, _):
-        x, r, p, rz = state
-        live = _dot(r, r) > threshold
+    def step(x, r, p, rz):
         ap = operator(p)
         pap = _dot(p, ap)
-        alpha = jnp.where(
-            live, rz / jnp.where(pap != 0.0, pap, 1.0), 0.0
-        )
+        alpha = rz / jnp.where(pap != 0.0, pap, 1.0)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, ap, r)
         z = preconditioner(r)
         rz_new = _dot(r, z)
-        beta = jnp.where(live, rz_new / jnp.where(rz != 0.0, rz, 1.0), 0.0)
+        beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
         p = jax.tree_util.tree_map(lambda zi, pi: zi + beta * pi, z, p)
-        rz = jnp.where(live, rz_new, rz)
-        return (x, r, p, rz), None
+        return x, r, p, rz_new
+
+    if dynamic:
+        def cond(state):
+            i, x, r, p, rz = state
+            return (i < iters) & (_dot(r, r) > threshold)
+
+        def body(state):
+            i, x, r, p, rz = state
+            x, r, p, rz = step(x, r, p, rz)
+            return (i + 1, x, r, p, rz)
+
+        _, x, r, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x0, r0, z0, rz0)
+        )
+        return x, _dot(r, r)
+
+    def scan_body(state, _):
+        x, r, p, rz = state
+        live = _dot(r, r) > threshold
+        xn, rn, pn, rzn = step(x, r, p, rz)
+        sel = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a_, b_: jnp.where(live, a_, b_), new, old
+        )
+        return (sel(xn, x), sel(rn, r), sel(pn, p),
+                jnp.where(live, rzn, rz)), None
 
     state0 = (x0, r0, z0, rz0)
-    (x, r, _, _), _ = jax.lax.scan(body, state0, None, length=iters)
+    (x, r, _, _), _ = jax.lax.scan(scan_body, state0, None, length=iters)
     return x, _dot(r, r)

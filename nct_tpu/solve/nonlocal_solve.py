@@ -138,7 +138,7 @@ def make_nonlocal_system(
     # pair slots whose target is j (capped at IN_MAX; overflow pairs have
     # their weight zeroed on BOTH sides, keeping the operator symmetric
     # PSD).  Every CG iteration is then two gathers and zero scatters.
-    in_max = 4 * k
+    in_max = 2 * k
     flat_t = nbr_ids.reshape(-1)                       # pair p -> target
     order = jnp.argsort(flat_t)
     sorted_t = flat_t[order]

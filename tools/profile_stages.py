@@ -70,7 +70,7 @@ def main():
     cfg = Config()
 
     print("== VGG forward (full res content) ==")
-    params = vgg19.init_params()
+    params = jax.device_put(vgg19.init_params())
     cnt = jnp.asarray(rng.integers(0, 256, (H, W, 3)), jnp.uint8)
     timed("vgg_5taps", lambda x: vgg19.features_jit(params, x), cnt)
 
