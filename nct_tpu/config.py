@@ -54,6 +54,12 @@ class Config:
     # upsampled exact field.  4 = conv5_1..conv2_1 exact, conv1_1 PatchMatch.
     exact_nn_levels: int = 4
     pm_iters_fine: int = 4          # PatchMatch iters when seeded by exact NN
+    # Matching strategy for levels >= exact_nn_levels: "window" = two-stage
+    # local window refinement (ops/window_refine.py, ~9x cheaper);
+    # "patchmatch" = the reference-shaped sweep search.
+    fine_strategy: str = "window"
+    window_radius: int = 4
+    window_shortlist: int = 8
 
     def pm_search_radii(self, max_len: int) -> list[int]:
         """Per-level random-search radii (ref main.cu:77-83)."""

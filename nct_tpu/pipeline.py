@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from nct_tpu.config import Config
 from nct_tpu.models import vgg19
-from nct_tpu.ops import bds, exact_nn, features, nnf, patchmatch, resize
+from nct_tpu.ops import (
+    bds, exact_nn, features, nnf, patchmatch, resize, window_refine,
+)
 from nct_tpu.ops.color import bgr_u8_to_lab_u8, unit_lab_to_bgr_u8
 from nct_tpu.solve import cluster, knn, stats
 from nct_tpu.solve.nonlocal_solve import solve_nonlocal
@@ -149,9 +151,23 @@ def transfer_pair(
         fc_n = fc_n.astype(fdt)
         fs_n = fs_n.astype(fdt)
         use_exact = l < config.exact_nn_levels
+        use_window = (
+            config.fine_strategy == "window" and l > 0 and not use_exact
+        )
         if use_exact:
             ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
             bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
+        elif use_window:
+            ann0 = nnf.upsample(state.ann, ah, aw, bh, bw)
+            bnn0 = nnf.upsample(state.bnn, bh, bw, ah, aw)
+            ann, _ = window_refine.window_refine(
+                fc_n, fs_n, ann0, config.window_radius,
+                config.window_shortlist, config.patch_size,
+            )
+            bnn, _ = window_refine.window_refine(
+                fs_n, fc_n, bnn0, config.window_radius,
+                config.window_shortlist, config.patch_size,
+            )
         else:
             if l == 0:
                 if warm_start is not None:

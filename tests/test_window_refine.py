@@ -1,0 +1,68 @@
+"""window_refine tests: never regresses the incumbent; finds within-window
+optima when the shortlist covers the window."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nct_tpu.ops.exact_nn import exact_nn
+from nct_tpu.ops.nnf import init_scaled_identity
+from nct_tpu.ops.patchmatch import patchify
+from nct_tpu.ops.window_refine import window_refine
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_never_worse_than_incumbent(rng):
+    a = _norm(rng.standard_normal((10, 12, 8)).astype(np.float32))
+    b = _norm(rng.standard_normal((11, 13, 8)).astype(np.float32))
+    nnf0 = init_scaled_identity(10, 12, 11, 13)
+    _, d0 = window_refine(
+        jnp.asarray(a), jnp.asarray(b), nnf0, radius=0, shortlist=1
+    )
+    _, d1 = window_refine(
+        jnp.asarray(a), jnp.asarray(b), nnf0, radius=3, shortlist=8
+    )
+    assert np.all(np.asarray(d1) <= np.asarray(d0) + 1e-3)
+
+
+def test_full_shortlist_finds_window_optimum(rng):
+    """With shortlist == window size the result is the exhaustive window
+    minimum of the full patch metric (verified per pixel in numpy)."""
+    a = _norm(rng.standard_normal((6, 7, 4)).astype(np.float32))
+    b = _norm(rng.standard_normal((7, 8, 4)).astype(np.float32))
+    r = 1
+    nnf0 = init_scaled_identity(6, 7, 7, 8)
+    nnf, d = window_refine(
+        jnp.asarray(a), jnp.asarray(b), nnf0,
+        radius=r, shortlist=(2 * r + 1) ** 2,
+    )
+    pa, pam = patchify(jnp.asarray(a), 3)
+    pb, pbm = patchify(jnp.asarray(b), 3)
+    pa, pam = np.asarray(pa, np.float64), np.asarray(pam, np.float64)
+    pb, pbm = np.asarray(pb, np.float64), np.asarray(pbm, np.float64)
+    n0 = np.asarray(nnf0)
+    got_d = np.asarray(d)
+    for y in range(6):
+        for x in range(7):
+            best = np.inf
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    bx = np.clip(n0[y, x, 0] + dx, 0, 7)
+                    by = np.clip(n0[y, x, 1] + dy, 0, 6)
+                    num = -(pa[y, x] * pb[by, bx]).sum()
+                    cnt = (pam[y, x] * pbm[by, bx]).sum()
+                    dd = num / cnt if cnt else 1.0
+                    best = min(best, dd)
+            assert abs(got_d[y, x] - best) < 2e-2, (y, x)
+
+
+def test_close_to_exact_when_seeded_well(rng):
+    """Seeded by the exact field itself, refinement stays at (or improves
+    past, via clamping ties) the global optimum."""
+    a = _norm(rng.standard_normal((8, 9, 6)).astype(np.float32))
+    b = _norm(rng.standard_normal((9, 10, 6)).astype(np.float32))
+    nnf_e, d_e = exact_nn(jnp.asarray(a), jnp.asarray(b), bf16=False)
+    _, d_r = window_refine(jnp.asarray(a), jnp.asarray(b), nnf_e, radius=2)
+    assert np.all(np.asarray(d_r) <= np.asarray(d_e) + 2e-2)
