@@ -197,14 +197,24 @@ def make_nonlocal_system(
 
     rhs = (d2 * s * r, d2 * r)
 
+    # 2x2 block-Jacobi preconditioner: the data rows couple (a_i, b_i) as
+    # d2*[[s^2, s],[s, 1]], and the Laplacians only add to the diagonal, so
+    # the exact per-(pixel,channel) 2x2 block inverse is cheap and much
+    # tighter than plain Jacobi on this system.
     deg_loc = 2.0 * laplacian_degree(gx2, gy2)
     deg_nl = nonlocal_degree(nbr_ids, pair_w, n).reshape(h, w)
-    diag_a = d2 * s * s + (deg_loc + deg_nl)[..., None]
-    diag_b = d2 + (deg_loc + deg_nl)[..., None]
+    deg = (deg_loc + deg_nl)[..., None]
+    blk_aa = d2 * s * s + deg
+    blk_bb = d2 + deg
+    blk_ab = d2 * s
+    inv_det = 1.0 / (blk_aa * blk_bb - blk_ab * blk_ab)
 
     def precond(res):
         ra, rb = res
-        return (ra / diag_a, rb / diag_b)
+        return (
+            inv_det * (blk_bb * ra - blk_ab * rb),
+            inv_det * (blk_aa * rb - blk_ab * ra),
+        )
 
     return operator, rhs, precond
 

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Quality/speed comparison of fine-level matching strategies on a real
+demo pair: window refinement vs reference-shaped PatchMatch.
+
+Prints per-strategy wall time and the SSIM between the two outputs — the
+acceptance evidence for making "window" the default.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nct_tpu.config import Config
+from nct_tpu.io import cap_max_size, imread_bgr
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import transfer_pair_jit
+from nct_tpu.utils.ssim import ssim
+
+DEMO = "/root/reference/demo/example/in"
+
+
+def run(params, cnt, stl, config, key):
+    out = transfer_pair_jit(params, cnt, stl, 2.0, key, config)
+    float(jnp.sum(out.astype(jnp.float32)))  # hard sync
+    return out
+
+
+def main():
+    size = int(_sys.argv[1]) if len(_sys.argv) > 1 else 700
+    cnt = cap_max_size(imread_bgr(f"{DEMO}/in0.png"), size)
+    stl = cap_max_size(imread_bgr(f"{DEMO}/tar0.png"), size)
+    params = jax.device_put(vgg19.init_params())
+    key = jax.random.PRNGKey(7)
+
+    outs = {}
+    for strategy in ("window", "patchmatch"):
+        config = dataclasses.replace(Config(), fine_strategy=strategy)
+        out = run(params, cnt, stl, config, key)   # compile + warm
+        t0 = time.perf_counter()
+        out = run(params, cnt, stl, config, key)
+        dt = time.perf_counter() - t0
+        outs[strategy] = np.asarray(out)
+        print(f"{strategy}: {dt:.2f} s")
+
+    s = ssim(outs["window"], outs["patchmatch"])
+    print(f"SSIM(window, patchmatch) = {s:.4f}")
+
+
+if __name__ == "__main__":
+    main()
