@@ -153,6 +153,19 @@ def _reference_nonlocal_rows(s, r, conf, nf, gx, gy, ids, wts, nl_w, k_num):
     return A, b
 
 
+def _bounded_indegree_ids(rng, n, k):
+    """Random-ish directed kNN ids with in-degree == k exactly — the
+    gather-only nonlocal apply caps in-degree at 2k (overflow edges are
+    dropped by design), so operator-exactness tests must stay under it."""
+    perm = rng.permutation(n)
+    ids = np.stack(
+        [np.roll(perm, t + 1) for t in range(k)], axis=1
+    ).astype(np.int32)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    return ids[inv]
+
+
 def test_nonlocal_operator_matches_dense_normal_matrix(rng):
     """Matrix-free operator == A^T A of the literal reference rows."""
     h, w = 3, 4
@@ -160,7 +173,7 @@ def test_nonlocal_operator_matches_dense_normal_matrix(rng):
     s = rng.uniform(0.1, 0.9, (h, w, 3))
     r = rng.uniform(0.1, 0.9, (h, w, 3))
     conf = rng.uniform(0.2, 1.0, (h, w))
-    ids = rng.integers(0, n, (n, 4)).astype(np.int32)
+    ids = _bounded_indegree_ids(rng, n, 4)
     wts = rng.uniform(0.3, 2.0, (n, 4))
     nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
 
@@ -203,7 +216,7 @@ def test_nonlocal_solve_matches_reference_normal_equations(rng):
     s = rng.uniform(0.1, 0.9, (h, w, 3))
     r = rng.uniform(0.1, 0.9, (h, w, 3))
     conf = rng.uniform(0.2, 1.0, (h, w))
-    ids = rng.integers(0, n, (n, 4)).astype(np.int32)
+    ids = _bounded_indegree_ids(rng, n, 4)
     wts = rng.uniform(0.3, 2.0, (n, 4)).astype(np.float64)
     nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
 
