@@ -29,6 +29,9 @@ def _filter2(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # TPU convs default to bf16 accumulation; the variance terms
+        # (E[x^2] - mu^2) need full f32 or SSIM can exceed 1.
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, 0].transpose(1, 2, 0)
 
