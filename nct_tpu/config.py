@@ -40,7 +40,11 @@ class Config:
     max_size: int = MAX_SIZE
 
     # --- solver budgets (ref ColorTransfer.cpp:916-921) ------------------
-    cg_tol: float = 1e-6
+    # The reference runs double-precision CG to ||r||^2 < 1e-6 absolute;
+    # our f32 CG uses a RELATIVE residual target — 1e-6 relative sits at
+    # the f32 noise floor (the early exit never fires), so the default is
+    # 1e-4, far below perceptual relevance for (a, b) coefficient maps.
+    cg_tol: float = 1e-4
     cg_iters_final: int = 50       # at the finest level (layer==4)
     cg_iters: int = 100            # at coarser levels
     wls_cg_iters: int = 400        # WLS PCG budget (ref uses a direct solver)

@@ -133,6 +133,7 @@ def transfer_pair(
         ann=None, bnn=None, refined=cnt, cnt_feats=cnt_feats
     )
     trace: list[dict] = []
+    prev_ab = None
 
     for l in range(numlayer):
         ah, aw = cnt_dims[l]
@@ -229,7 +230,15 @@ def transfer_pair(
         )
         confidence = stats.error_confidence(bds_err)
 
-        # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949)
+        # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949).
+        # CG start: the previous level's SOLVED coefficients upsampled —
+        # the system is SPD so the solution is x0-independent, but the
+        # warm start converges in far fewer iterations than the
+        # reference's patch-stat init (its Rab, :630-636), which we keep
+        # for level 0.
+        if prev_ab is not None:
+            a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
+            b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
         norm_factor = float(h * w) / float(ah * aw)
         cg_iters = (
             config.cg_iters_final if l == numlayer - 1 else config.cg_iters
@@ -239,6 +248,7 @@ def transfer_pair(
             norm_factor, config.local_weight, config.wls_alpha,
             config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
         )
+        prev_ab = (a_d, b_d)
 
         # 7. upsample coefficients + WLS at full res (ref :1376-1429)
         a_up = resize.resize_bilinear(a_d, h, w)
