@@ -48,6 +48,14 @@ class PipelineState:
     cnt_feats: dict[str, jnp.ndarray]   # refreshed per level
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (trace-time decision)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def image_pyramid(
     img_u8: jnp.ndarray, dims: list[tuple[int, int]]
 ) -> list[jnp.ndarray]:
@@ -156,8 +164,15 @@ def transfer_pair(
             config.fine_strategy == "window" and l > 0 and not use_exact
         )
         if use_exact:
-            ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
-            bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
+            if _on_tpu():
+                # fused matmul+argmin Pallas kernel (~1.6x the XLA scan)
+                from nct_tpu.ops.pallas_nn import exact_nn_pallas
+
+                ann, _ = exact_nn_pallas(fc_n, fs_n, config.patch_size)
+                bnn, _ = exact_nn_pallas(fs_n, fc_n, config.patch_size)
+            else:
+                ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
+                bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
         elif use_window:
             ann0 = nnf.upsample(state.ann, ah, aw, bh, bw)
             bnn0 = nnf.upsample(state.bnn, bh, bw, ah, aw)
