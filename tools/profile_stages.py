@@ -91,15 +91,29 @@ def main():
                 lambda a, b: exact_mod.exact_nn(a, b, 3)[0],
                 fa_n, fb_n,
             )
-
-        pm_iters = 4 if lvl >= 3 else cfg.pm_iters
-        ann = timed(
-            f"patchmatch{pm_iters}_ab_L{lvl}",
-            lambda a, b, n0: patchmatch.patchmatch(
-                a, b, n0, key, iters=pm_iters, rs_max=rs, patch_size=3
-            )[0],
-            fa_n, fb_n, ann0,
-        )
+            from nct_tpu.ops.pallas_nn import exact_nn_pallas
+            ann = timed(
+                f"pallas_nn_L{lvl}",
+                lambda a, b: exact_nn_pallas(a, b, 3)[0],
+                fa_n, fb_n,
+            )
+        else:
+            from nct_tpu.ops.window_refine import window_refine
+            ann = timed(
+                f"window_refine_L{lvl}",
+                lambda a, b, n0: window_refine(
+                    a, b, n0, cfg.window_radius, cfg.window_shortlist
+                )[0],
+                fa_n, fb_n, ann0,
+            )
+            pm_iters = cfg.pm_iters_fine
+            timed(
+                f"patchmatch{pm_iters}_ab_L{lvl}",
+                lambda a, b, n0: patchmatch.patchmatch(
+                    a, b, n0, key, iters=pm_iters, rs_max=rs, patch_size=3
+                )[0],
+                fa_n, fb_n, ann0,
+            )
 
         timed(
             f"bds_vote_L{lvl}",
@@ -121,15 +135,18 @@ def main():
         )
 
         conf = jnp.asarray(rng.uniform(0.2, 1, (ah, aw)), jnp.float32)
+        # warm-ish start akin to the pipeline's cross-level upsample: the
+        # true solution of a smooth system is near a constant-ish field
         a0 = jnp.ones((ah, aw, 3), jnp.float32)
         b0 = jnp.zeros((ah, aw, 3), jnp.float32)
         glab = jnp.asarray(rng.uniform(0, 1, (ah, aw, 3)), jnp.float32)
         nf = float(H * W) / (ah * aw)
         iters = 50 if lvl == 4 else 100
         timed(
-            f"nonlocal_cg{iters}_L{lvl}",
+            f"nonlocal_cg{iters}_tol{cfg.cg_tol:g}_L{lvl}",
             lambda: solve_nonlocal(
-                a0, b0, lab, glab, conf, ids, wts, nf, iters=iters
+                a0, b0, lab, glab, conf, ids, wts, nf,
+                iters=iters, tol=cfg.cg_tol,
             ),
         )
 
