@@ -297,6 +297,16 @@ def transfer_pair(
             cnt_feats_next = vgg19.features_jit(
                 params, refined, (taps[l + 1],), bf16
             )
+        # Barrier the cross-level state: in the fully-fused program XLA's
+        # scheduler may otherwise hoist later levels' large intermediates
+        # (patchified features, pallas operands) to overlap earlier ones,
+        # blowing HBM; nesting lifetimes costs nothing here because the
+        # levels are sequential anyway.
+        ann, bnn, refined, cnt_feats_next, prev_ab = (
+            jax.lax.optimization_barrier(
+                (ann, bnn, refined, cnt_feats_next, prev_ab)
+            )
+        )
         state = PipelineState(
             ann=ann, bnn=bnn, refined=refined, cnt_feats=cnt_feats_next
         )

@@ -35,25 +35,41 @@ def run(params, cnt, stl, config, key):
     return out
 
 
+CONFIGS = {
+    "default": Config(),
+    "patchmatch": dataclasses.replace(Config(), fine_strategy="patchmatch"),
+    # full reference-shaped search + solver budgets (PatchMatch everywhere,
+    # 10 iters, unhalved CG budgets, tight tolerance)
+    "parity": dataclasses.replace(
+        Config(), exact_nn_levels=0, fine_strategy="patchmatch",
+        pm_iters=10, pm_iters_fine=10, cg_iters=100, cg_iters_final=50,
+        wls_cg_iters=400, cg_tol=1e-6,
+    ),
+}
+
+
 def main():
     size = int(_sys.argv[1]) if len(_sys.argv) > 1 else 700
+    names = _sys.argv[2:] or ["default", "patchmatch"]
     cnt = cap_max_size(imread_bgr(f"{DEMO}/in0.png"), size)
     stl = cap_max_size(imread_bgr(f"{DEMO}/tar0.png"), size)
     params = jax.device_put(vgg19.init_params())
     key = jax.random.PRNGKey(7)
 
     outs = {}
-    for strategy in ("window", "patchmatch"):
-        config = dataclasses.replace(Config(), fine_strategy=strategy)
+    for name in names:
+        config = CONFIGS[name]
         out = run(params, cnt, stl, config, key)   # compile + warm
         t0 = time.perf_counter()
         out = run(params, cnt, stl, config, key)
         dt = time.perf_counter() - t0
-        outs[strategy] = np.asarray(out)
-        print(f"{strategy}: {dt:.2f} s")
+        outs[name] = np.asarray(out)
+        print(f"{name}: {dt:.2f} s")
 
-    s = ssim(outs["window"], outs["patchmatch"])
-    print(f"SSIM(window, patchmatch) = {s:.4f}")
+    base = names[0]
+    for other in names[1:]:
+        s = ssim(outs[base], outs[other])
+        print(f"SSIM({base}, {other}) = {s:.4f}")
 
 
 if __name__ == "__main__":
