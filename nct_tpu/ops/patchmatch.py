@@ -63,16 +63,17 @@ def patchify(feat: jnp.ndarray, patch_size: int):
 def _eval_candidates(pa, pam, pb_flat, pbm_flat, cand, valid, wb: int):
     """Masked cosine patch distance for a candidate field.
 
-    pa/pam: patchified A [Ha,Wa,K,C] / [Ha,Wa,K]; pb_flat/pbm_flat:
-    patchified B flattened over pixels [Hb*Wb,K,C] / [Hb*Wb,K];
+    pa/pam: patchified A [Ha,Wa,K*C] / [Ha,Wa,K] (patch axis FLATTENED into
+    the channel axis — a trailing [K, C] would tile-pad ~3.6x on TPU);
+    pb_flat/pbm_flat: patchified B [Hb*Wb,K*C] / [Hb*Wb,K];
     cand: [Ha,Wa,2] int32 (x,y); valid: [Ha,Wa] bool.
     """
     hb_wb = pb_flat.shape[0]
     flat = jnp.clip(cand[..., 1] * wb + cand[..., 0], 0, hb_wb - 1)
-    g = pb_flat[flat]          # [Ha,Wa,K,C]
+    g = pb_flat[flat]          # [Ha,Wa,K*C]
     gm = pbm_flat[flat]        # [Ha,Wa,K]
     num = -jnp.einsum(
-        "hwkc,hwkc->hw", pa, g, preferred_element_type=jnp.float32
+        "hwd,hwd->hw", pa, g, preferred_element_type=jnp.float32
     )
     cnt = jnp.einsum(
         "hwk,hwk->hw", pam, gm, preferred_element_type=jnp.float32
@@ -126,7 +127,8 @@ def patchmatch(
     pa, pam = patchify(a_norm, patch_size)
     pb, pbm = patchify(b_norm, patch_size)
     k, c = pb.shape[2], pb.shape[3]
-    pb_flat = pb.reshape(hb * wb, k, c)
+    pa = pa.reshape(ha, wa, k * c)
+    pb_flat = pb.reshape(hb * wb, k * c)
     pbm_flat = pbm.reshape(hb * wb, k)
 
     xs, ys = _coord_grids(ha, wa)

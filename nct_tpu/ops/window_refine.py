@@ -96,23 +96,27 @@ def window_refine(
         )
         work = jnp.where(onehot, jnp.inf, work)
 
-    # ---- stage 2: full patch metric on the shortlist (+ incumbent)
+    # ---- stage 2: full patch metric on the shortlist (+ incumbent).
+    # Patch vectors are kept FLAT [*, K*C]: a trailing [9, 64] would tile
+    # to (16, 128) on TPU — a 3.6x padding blow-up that OOMs HBM at
+    # conv1_1 sizes — while K*C lanes pad by <12%.
     pa, pam = patchify(a32, patch_size)
     pb, pbm = patchify(b_norm.astype(jnp.bfloat16), patch_size)
     k = pa.shape[2]
-    pb_flat = pb.reshape(nb, k, c)
-    pbm_flat = pbm.reshape(nb, k)
+    pa_f = pa.reshape(ha, wa, k * c)
+    pb_flat = pb.reshape(nb, k * c)
+    pam_f = pam.astype(jnp.bfloat16)
+    pbm_flat = pbm.astype(jnp.bfloat16).reshape(nb, k)
 
     def full_eval(cand_x, cand_y):
         flat = jnp.clip(cand_y * wb + cand_x, 0, nb - 1)
-        g = pb_flat[flat]
-        gm = pbm_flat[flat]
+        g = pb_flat[flat]                       # [Ha, Wa, K*C]
+        gm = pbm_flat[flat]                     # [Ha, Wa, K]
         num = -jnp.einsum(
-            "hwkc,hwkc->hw", pa, g, preferred_element_type=jnp.float32
+            "hwd,hwd->hw", pa_f, g, preferred_element_type=jnp.float32
         )
         cnt = jnp.einsum(
-            "hwk,hwk->hw", pam.astype(jnp.float32), gm.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            "hwk,hwk->hw", pam_f, gm, preferred_element_type=jnp.float32
         )
         return jnp.where(cnt > 0, num / jnp.maximum(cnt, 1.0), 1.0)
 
