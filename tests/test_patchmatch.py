@@ -35,7 +35,8 @@ def test_eval_matches_naive_distance():
 
     pa, pam = patchify(jnp.asarray(an), 3)
     pb, pbm = patchify(jnp.asarray(bn), 3)
-    pb_flat = pb.reshape(-1, 9, 4)
+    pa = pa.reshape(6, 7, 9 * 4)          # flat [K*C] patch vectors
+    pb_flat = pb.reshape(-1, 9 * 4)
     pbm_flat = pbm.reshape(-1, 9)
 
     cand = np.zeros((6, 7, 2), np.int32)
@@ -100,8 +101,8 @@ def test_patchmatch_never_worsens():
     pa, pam = patchify(an, 3)
     pb, pbm = patchify(bn, 3)
     d0 = np.asarray(_eval_candidates(
-        pa, pam, pb.reshape(-1, 9, 4), pbm.reshape(-1, 9),
-        nnf0, jnp.ones((10, 10), bool), 10))
+        pa.reshape(10, 10, 9 * 4), pam, pb.reshape(-1, 9 * 4),
+        pbm.reshape(-1, 9), nnf0, jnp.ones((10, 10), bool), 10))
     _, d = patchmatch(an, bn, nnf0, jax.random.PRNGKey(1), iters=3, rs_max=8)
     assert (np.asarray(d) <= d0 + 1e-6).all()
 
