@@ -38,6 +38,11 @@ def run(params, cnt, stl, config, key):
 CONFIGS = {
     "default": Config(),
     "patchmatch": dataclasses.replace(Config(), fine_strategy="patchmatch"),
+    # default matcher, reference solver budgets — isolates CG effects
+    "cgfull": dataclasses.replace(
+        Config(), cg_iters=100, cg_iters_final=50, wls_cg_iters=400,
+        cg_tol=1e-6,
+    ),
     # full reference-shaped search + solver budgets (PatchMatch everywhere,
     # 10 iters, unhalved CG budgets, tight tolerance)
     "parity": dataclasses.replace(
