@@ -233,7 +233,7 @@ def transfer_pair(
         key, ckey = jax.random.split(key)
         m_cand = min(2048, ah * aw)
         candidates = knn.sample_cluster_candidates(member_pix, ckey, m_cand)
-        nbr_ids, nbr_w = knn.knn_graph(
+        nbr_ids, nbr_w, nbr_slots = knn.knn_graph(
             cnt_lab_d, pixel_labels, candidates, k_num=config.k_num
         )
 
@@ -262,6 +262,7 @@ def transfer_pair(
             a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
             norm_factor, config.local_weight, config.wls_alpha,
             config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
+            candidates=candidates, nbr_slots=nbr_slots,
         )
         prev_ab = (a_d, b_d)
 

@@ -114,6 +114,8 @@ def make_nonlocal_system(
     local_weight: float = 0.125,
     alpha: float = 1.2,
     nonlocal_weight: float = 2.0,
+    candidates: jnp.ndarray | None = None,
+    nbr_slots: jnp.ndarray | None = None,
 ):
     """Build (operator, rhs, preconditioner) for the normal equations.
 
@@ -165,9 +167,19 @@ def make_nonlocal_system(
     pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
     pair_w_flat = pair_w.reshape(n * k)
 
+    use_slots = candidates is not None and nbr_slots is not None
+    if use_slots:
+        cand_flat = candidates.reshape(-1)
+
     def nl_apply(u):
         """u: [N, C] -> sum_j w_ij (u_i - u_j) over both edge directions."""
-        uj = u[nbr_ids]                                    # [N, k, C]
+        if use_slots:
+            # two-hop gather through the small candidate table: 20k-row
+            # tables gather ~3x faster than the 300k-row pixel table
+            u_cand = u[cand_flat]                          # [K*M, C]
+            uj = u_cand[nbr_slots]                         # [N, k, C]
+        else:
+            uj = u[nbr_ids]                                # [N, k, C]
         diff = (u[:, None, :] - uj) * pair_w[..., None]    # [N, k, C]
         out = jnp.sum(diff, axis=1)
         dpad = jnp.concatenate(
@@ -234,16 +246,19 @@ def solve_nonlocal(
     nonlocal_weight: float = 2.0,
     iters: int = 100,
     tol: float = 1e-6,
+    candidates: jnp.ndarray | None = None,
+    nbr_slots: jnp.ndarray | None = None,
 ):
     """Solve for regularized (a, b) at down-res.  Returns (a, b) [H, W, 3].
 
     src_lab/ref_lab: [H, W, 3] unit-domain Lab (content, BDS guidance);
     confidence: [H, W] data weight m_weight; norm_factor = fullArea /
-    downArea (the dWeight of ref :1369).
+    downArea (the dWeight of ref :1369).  candidates/nbr_slots (from
+    knn_graph) enable the fast small-table out-gather.
     """
     operator, rhs, precond = make_nonlocal_system(
         src_lab, ref_lab, confidence, nbr_ids, nbr_w, norm_factor,
-        local_weight, alpha, nonlocal_weight,
+        local_weight, alpha, nonlocal_weight, candidates, nbr_slots,
     )
     (a, b), _ = cg_solve(
         operator, rhs, (a0.astype(jnp.float32), b0.astype(jnp.float32)),

@@ -96,7 +96,11 @@ def test_knn_graph_matches_bruteforce(rng):
     # single cluster containing every pixel, candidates = all pixels
     labels = jnp.zeros((h, w), jnp.int32)
     candidates = jnp.arange(n, dtype=jnp.int32)[None, :]
-    ids, wts = knn.knn_graph(jnp.asarray(lab), labels, candidates, k_num=k)
+    ids, wts, slots = knn.knn_graph(jnp.asarray(lab), labels, candidates, k_num=k)
+    # slots must locate the same pixels in the candidate table
+    np.testing.assert_array_equal(
+        np.asarray(candidates).reshape(-1)[np.asarray(slots)], np.asarray(ids)
+    )
     ids, wts = np.asarray(ids), np.asarray(wts)
 
     flat = lab.reshape(n, 3).astype(np.float64)
@@ -119,7 +123,7 @@ def test_knn_graph_excludes_self_and_duplicates(rng):
     cand = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32)] * 2
     )[None, :]
-    ids, wts = knn.knn_graph(jnp.asarray(lab), labels, cand, k_num=k)
+    ids, wts, _ = knn.knn_graph(jnp.asarray(lab), labels, cand, k_num=k)
     ids, wts = np.asarray(ids), np.asarray(wts)
     for i in range(n):
         live = ids[i][wts[i] > 0]

@@ -128,7 +128,7 @@ def main():
             rng.integers(0, ah * aw, (10, m)), jnp.int32
         )
         plabels = jnp.asarray(rng.integers(0, 10, (ah, aw)), jnp.int32)
-        ids, wts = timed(
+        ids, wts, slots = timed(
             f"knn_graph_L{lvl}",
             lambda l, pl, cd: knn.knn_graph(l, pl, cd, k_num=8),
             lab, plabels, cand,
@@ -147,6 +147,7 @@ def main():
             lambda: solve_nonlocal(
                 a0, b0, lab, glab, conf, ids, wts, nf,
                 iters=iters, tol=cfg.cg_tol,
+                candidates=cand, nbr_slots=slots,
             ),
         )
 
