@@ -32,7 +32,7 @@ from nct_tpu.ops.patchmatch import patchify
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "shortlist", "patch_size"),
+    static_argnames=("radius", "shortlist", "patch_size", "shift_chunk"),
 )
 def window_refine(
     a_norm: jnp.ndarray,
@@ -41,6 +41,7 @@ def window_refine(
     radius: int = 4,
     shortlist: int = 8,
     patch_size: int = 3,
+    shift_chunk: int = 16,
 ):
     """Refine nnf0 (a->b) within a +-radius window.
 
@@ -51,6 +52,7 @@ def window_refine(
     nb = hb * wb
 
     a32 = a_norm.astype(jnp.bfloat16)
+    b_flat = b_norm.astype(jnp.bfloat16).reshape(nb, c)
 
     shifts = jnp.asarray(
         [(dx, dy)
@@ -63,38 +65,24 @@ def window_refine(
     bx0 = nnf0[..., 0]
     by0 = nnf0[..., 1]
 
-    # ---- stage 1: centre-feature distances for every shift.  Per dy ROW
-    # of the window, ONE row-segment gather pulls the contiguous
-    # (2r+1)*C span around the base match ((2r+1)x fewer gathered rows
-    # than per-shift gathers — TPU gather cost scales with row count);
-    # B is edge-padded so the out-of-range clamp falls out of the pad.
-    r = radius
-    span = 2 * r + 1
-    b_pad = jnp.pad(
-        b_norm.astype(jnp.bfloat16), ((r, r), (r, r), (0, 0)), mode="edge"
-    )
-    wp = wb + 2 * r
-    op = b_pad.reshape(hb + 2 * r, wp * c)
-    y_base = by0.reshape(-1) + r                    # padded row of dy=0
-    x_base = bx0.reshape(-1) * c                    # window start (padded)
+    # ---- stage 1: centre-feature distances for every shift, chunked
+    pad = (-n_shifts) % shift_chunk
+    shifts_p = jnp.pad(shifts, ((0, pad), (0, 0)))
+    n_chunks = (n_shifts + pad) // shift_chunk
 
-    def row_slice(yy, xx):
-        return jax.lax.dynamic_slice(op, (yy, xx), (1, span * c))[0]
+    def center_chunk(sh):
+        # sh: [sc, 2] -> distances [sc, Ha, Wa]
+        cx = jnp.clip(bx0[None] + sh[:, 0, None, None], 0, wb - 1)
+        cy = jnp.clip(by0[None] + sh[:, 1, None, None], 0, hb - 1)
+        idx = cy * wb + cx                              # [sc, Ha, Wa]
+        g = b_flat[idx]                                 # [sc, Ha, Wa, C]
+        return -jnp.einsum(
+            "hwc,shwc->shw", a32, g, preferred_element_type=jnp.float32
+        )
 
-    d_rows = []
-    for dy in range(-r, r + 1):
-        rows = jax.vmap(row_slice)(y_base + dy, x_base)   # [N, span*C]
-        region = rows.reshape(ha, wa, span * c)
-        for dx in range(span):
-            seg = jax.lax.dynamic_slice_in_dim(
-                region, dx * c, c, axis=2
-            )                                             # [Ha, Wa, C]
-            d_rows.append(-jnp.einsum(
-                "hwc,hwc->hw", a32, seg,
-                preferred_element_type=jnp.float32,
-            ))
-    # loop order above is dy-major, dx-minor == shifts order
-    d_center = jnp.stack(d_rows, axis=0)                  # [S2, Ha, Wa]
+    d_center = jax.lax.map(
+        center_chunk, shifts_p.reshape(n_chunks, shift_chunk, 2)
+    ).reshape(-1, ha, wa)[:n_shifts]                    # [S2, Ha, Wa]
 
     # ---- shortlist: S best shifts per pixel by centre distance
     s_count = min(shortlist, n_shifts)
