@@ -35,7 +35,7 @@ from nct_tpu.ops import (
 from nct_tpu.ops.color import bgr_u8_to_lab_u8, unit_lab_to_bgr_u8
 from nct_tpu.solve import cluster, knn, stats
 from nct_tpu.solve.nonlocal_solve import solve_nonlocal
-from nct_tpu.solve.wls import apply_transform, roughness_gate, solve_wls
+from nct_tpu.solve.wls import apply_transform, solve_wls
 
 
 @dataclasses.dataclass
