@@ -54,12 +54,23 @@ def window_refine(
     a32 = a_norm.astype(jnp.bfloat16)
     b_flat = b_norm.astype(jnp.bfloat16).reshape(nb, c)
 
-    shifts = jnp.asarray(
-        [(dx, dy)
-         for dy in range(-radius, radius + 1)
-         for dx in range(-radius, radius + 1)],
-        dtype=jnp.int32,
-    )                                               # [S2, 2]
+    # Dense +-radius window plus sparse far rings (8 compass points at
+    # 2r and 4r): the reference's random search reaches radius 32 at the
+    # finest level (main.cu:77-83); the rings restore that reach for
+    # pixels whose upsampled seed is off, at ~20% more centre evals.
+    # Never regresses: stage 2 rescoring keeps the incumbent.
+    dense = [
+        (dx, dy)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ]
+    rings = [
+        (r * sx, r * sy)
+        for r in (2 * radius, 4 * radius)
+        for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1))
+    ]
+    shifts = jnp.asarray(dense + rings, dtype=jnp.int32)    # [S2, 2]
     n_shifts = shifts.shape[0]
 
     bx0 = nnf0[..., 0]

@@ -28,15 +28,16 @@ def test_never_worse_than_incumbent(rng):
 
 
 def test_full_shortlist_finds_window_optimum(rng):
-    """With shortlist == window size the result is the exhaustive window
-    minimum of the full patch metric (verified per pixel in numpy)."""
+    """With shortlist >= dense-window size the result is at least as good
+    as the exhaustive dense-window minimum of the full patch metric (the
+    far rings may find strictly better matches outside the window)."""
     a = _norm(rng.standard_normal((6, 7, 4)).astype(np.float32))
     b = _norm(rng.standard_normal((7, 8, 4)).astype(np.float32))
     r = 1
     nnf0 = init_scaled_identity(6, 7, 7, 8)
     nnf, d = window_refine(
         jnp.asarray(a), jnp.asarray(b), nnf0,
-        radius=r, shortlist=(2 * r + 1) ** 2,
+        radius=r, shortlist=(2 * r + 1) ** 2 + 16,   # dense + both rings
     )
     pa, pam = patchify(jnp.asarray(a), 3)
     pb, pbm = patchify(jnp.asarray(b), 3)
@@ -55,7 +56,7 @@ def test_full_shortlist_finds_window_optimum(rng):
                     cnt = (pam[y, x] * pbm[by, bx]).sum()
                     dd = num / cnt if cnt else 1.0
                     best = min(best, dd)
-            assert abs(got_d[y, x] - best) < 2e-2, (y, x)
+            assert got_d[y, x] <= best + 2e-2, (y, x)
 
 
 def test_close_to_exact_when_seeded_well(rng):
