@@ -23,6 +23,9 @@ from nct_tpu.config import Config
 from nct_tpu.io import cap_max_size, imread_bgr
 from nct_tpu.models import vgg19
 from nct_tpu.pipeline import transfer_pair_jit
+from nct_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
 
 DEMO = "/root/reference/demo/example/in"
 BASELINE_MPS = (700 * 466 / 1e6) / 2.0  # 700px pair in 2 s (BASELINE.md)

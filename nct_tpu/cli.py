@@ -56,12 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override MAX_SIZE (longer-side cap, default 1000).")
     p.add_argument("--pairs-limit", type=int, default=None,
                    help="Process only the first N pairs.txt lines.")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="Persistent XLA compilation cache dir (default "
+                   "$NCT_COMPILE_CACHE or ~/.cache/nct_tpu/xla; 'none' "
+                   "disables).")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     os.makedirs(args.output, exist_ok=True)
+
+    from nct_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)
 
     config = Config(
         reverse_weight=args.bds, var_epsilon=args.eps,

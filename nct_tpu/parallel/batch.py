@@ -48,8 +48,3 @@ def make_batch_transfer(config: Config, mesh: Mesh | None = None):
         in_shardings=(repl, img_sharding, img_sharding, data_sharding),
         out_shardings=img_sharding,
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _noop():  # pragma: no cover - placeholder for future bucket cache
-    return None

@@ -85,7 +85,7 @@ def knn_graph(
     q_ids = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
     n_chunks = (n + pad) // chunk
 
-    # Pre-gather每 cluster's candidate colours ONCE ([K, M, 3]); chunks then
+    # Pre-gather each cluster's candidate colours ONCE ([K, M, 3]); chunks then
     # gather whole per-cluster rows (M*3 contiguous floats) by label instead
     # of 4M scattered 12-byte rows — the difference between DMA-friendly
     # and scalarized gathers on TPU.
