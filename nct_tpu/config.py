@@ -53,6 +53,19 @@ class Config:
     cg_iters_final: int = 25       # at the finest level (layer==4)
     cg_iters: int = 50             # at coarser levels
     wls_cg_iters: int = 200        # WLS PCG budget (ref uses a direct solver)
+    # Nonlocal-solve preconditioner: "mg" = multigrid V-cycle (reaches the
+    # block-Jacobi budget's residual in ~1/8 the iterations on the real
+    # Laplacian-dominated systems; see PERFORMANCE.md), "block_jacobi" =
+    # the exact per-pixel 2x2 inverse (the round-1 default, kept for the
+    # parity config).  The mg budgets below apply when nl_precond="mg".
+    nl_precond: str = "mg"
+    cg_iters_mg: int = 10
+    cg_iters_final_mg: int = 6
+    # CG loop style: dynamic while_loop (early exit; best single-pair
+    # latency) vs fixed-trip scan (vmapped while_loop serializes the whole
+    # batch on the slowest element every step, so batched serving flips
+    # this to False — see parallel/batch.py).
+    cg_dynamic: bool = True
 
     # --- TPU execution knobs (no reference equivalent) -------------------
     feature_dtype: str = "bfloat16"  # halves matcher HBM traffic; f32 accum
@@ -69,6 +82,11 @@ class Config:
     fine_strategy: str = "window"
     window_radius: int = 4
     window_shortlist: int = 8
+    # k-NN graph: how many of a pixel's (dilated) cluster memberships are
+    # queried and merged.  1 = primary cluster only; >1 restores the
+    # reference's multi-cluster kd-tree merge (ColorTransfer.cpp:397-423)
+    # at ~P x the graph-build cost (build-time only, not per CG iteration).
+    knn_memberships: int = 1
 
     def pm_search_radii(self, max_len: int) -> list[int]:
         """Per-level random-search radii (ref main.cu:77-83)."""

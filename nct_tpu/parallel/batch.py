@@ -11,7 +11,7 @@ image rows may additionally shard over ``space`` (SURVEY §2.3 #5, §5
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,11 @@ def make_batch_transfer(config: Config, mesh: Mesh | None = None):
     would need one bucket per distinct value, as the reference effectively
     recompiles nothing but also fixes it per run).
     """
+
+    # vmapping a lax.while_loop serializes the whole batch on its slowest
+    # element at every step; fixed-trip scan CG keeps the batch in lockstep
+    # with masked updates instead (identical results).
+    config = dataclasses.replace(config, cg_dynamic=False)
 
     def single(params, cnt, stl, key, bds_weight):
         return transfer_pair(params, cnt, stl, bds_weight, config, key=key)

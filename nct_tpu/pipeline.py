@@ -228,7 +228,15 @@ def transfer_pair(
         cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
         cnt_lab_d = cnt_lab_u8.astype(jnp.float32) / 255.0
         stride = 2 ** l
-        pixel_labels = cluster.labels_for_pixels(label_map, ah, aw, stride)
+        if config.knn_memberships > 1:
+            pixel_labels = cluster.multi_labels_for_pixels(
+                label_map, membership, ah, aw, stride,
+                config.knn_memberships,
+            )
+        else:
+            pixel_labels = cluster.labels_for_pixels(
+                label_map, ah, aw, stride
+            )
         member_pix = cluster.membership_for_pixels(membership, ah, aw, stride)
         key, ckey = jax.random.split(key)
         m_cand = min(2048, ah * aw)
@@ -255,14 +263,22 @@ def transfer_pair(
             a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
             b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
         norm_factor = float(h * w) / float(ah * aw)
-        cg_iters = (
-            config.cg_iters_final if l == numlayer - 1 else config.cg_iters
-        )
+        if config.nl_precond == "mg":
+            cg_iters = (
+                config.cg_iters_final_mg if l == numlayer - 1
+                else config.cg_iters_mg
+            )
+        else:
+            cg_iters = (
+                config.cg_iters_final if l == numlayer - 1
+                else config.cg_iters
+            )
         a_d, b_d = solve_nonlocal(
             a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
             norm_factor, config.local_weight, config.wls_alpha,
             config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
             candidates=candidates, nbr_slots=nbr_slots,
+            precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
         )
         prev_ab = (a_d, b_d)
 
@@ -275,6 +291,7 @@ def transfer_pair(
         a_f, b_f = solve_wls(
             a_up, b_up, cnt_lab_unit, lam, config.wls_alpha,
             iters=config.wls_cg_iters, tol=config.cg_tol,
+            dynamic=config.cg_dynamic,
         )
 
         # 8. apply + convert (ref :1436-1477)

@@ -116,3 +116,43 @@ def membership_for_pixels(
     ys = jnp.clip(jnp.arange(h) // stride, 0, lh - 1)
     xs = jnp.clip(jnp.arange(w) // stride, 0, lw - 1)
     return membership[:, ys[:, None], xs[None, :]]
+
+
+def multi_labels_for_pixels(
+    label_map: jnp.ndarray,
+    membership: jnp.ndarray,
+    h: int,
+    w: int,
+    stride: int,
+    num_memberships: int,
+) -> jnp.ndarray:
+    """Per-pixel list of up to P cluster memberships, primary first.
+
+    The reference queries a kd-tree for EVERY cluster a pixel belongs to
+    through the boundary-dilated membership and merges the results
+    (ColorTransfer.cpp:397-423 ``findKnns`` loops clusters; :60-110
+    ``sortMergeComputeWeight`` merges across queries).  The primary-cluster
+    path (P=1) is the round-1 approximation; P>1 restores the reference's
+    multi-cluster merge with a fixed membership cap.
+
+    Pixels with fewer than P memberships repeat their primary cluster
+    (duplicate candidates tie on distance and are deduplicated during
+    neighbour selection).  Returns int32 [h, w, P].
+    """
+    k = membership.shape[0]
+    # score: primary cluster 2, dilated member 1, other 0; stable top-P
+    primary = (
+        label_map[None, :, :] == jnp.arange(k)[:, None, None]
+    )
+    score = membership.astype(jnp.int32) + primary.astype(jnp.int32)
+    _, order = jax.lax.top_k(
+        jnp.moveaxis(score, 0, -1), min(num_memberships, k)
+    )                                                    # [lh, lw, P]
+    got = jnp.take_along_axis(
+        jnp.moveaxis(score, 0, -1), order, axis=-1
+    )
+    cells = jnp.where(got > 0, order, order[..., :1]).astype(jnp.int32)
+    lh, lw = label_map.shape
+    ys = jnp.clip(jnp.arange(h) // stride, 0, lh - 1)
+    xs = jnp.clip(jnp.arange(w) // stride, 0, lw - 1)
+    return cells[ys[:, None], xs[None, :], :]

@@ -64,7 +64,10 @@ def knn_graph(
 
     lab_unit: [H, W, 3] float Lab in [0, 1] (ref queries cntLabD,
     ColorTransfer.cpp:150-169).  pixel_labels: [H, W] int32 primary cluster
-    per pixel.  candidates: [K, M] int32 flat pixel ids per cluster.
+    per pixel, or [H, W, P] int32 for the reference's multi-cluster merge
+    (every listed membership's candidates are scored and the k best of the
+    union kept, matching findKnns/sortMergeComputeWeight semantics).
+    candidates: [K, M] int32 flat pixel ids per cluster.
 
     Returns (ids [N, k] int32, weights [N, k] float32, slots [N, k] int32)
     with N = H*W and weights = exp(1 - d/3), d the squared unit-Lab
@@ -76,12 +79,15 @@ def knn_graph(
     h, w, _ = lab_unit.shape
     n = h * w
     colors = lab_unit.reshape(n, 3).astype(jnp.float32)
-    labels_flat = pixel_labels.reshape(n)
+    if pixel_labels.ndim == 2:
+        pixel_labels = pixel_labels[..., None]
+    p = pixel_labels.shape[-1]
+    labels_flat = pixel_labels.reshape(n, p)
     m = candidates.shape[1]
 
     pad = (-n) % chunk
     q_colors = jnp.pad(colors, ((0, pad), (0, 0)))
-    q_labels = jnp.pad(labels_flat, (0, pad))
+    q_labels = jnp.pad(labels_flat, ((0, pad), (0, 0)))
     q_ids = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
     n_chunks = (n + pad) // chunk
 
@@ -93,9 +99,11 @@ def knn_graph(
     cand_sq = jnp.sum(cand_colors * cand_colors, axis=-1)   # [K, M]
 
     def one_chunk(args):
-        qc, ql, qi = args                      # [B,3], [B], [B]
-        cand_ids = candidates[ql]              # [B, M] (row gather)
-        cc = cand_colors[ql]                   # [B, M, 3] (row gather)
+        qc, ql, qi = args                      # [B,3], [B,P], [B]
+        b = qc.shape[0]
+        cand_ids = candidates[ql].reshape(b, p * m)      # (row gather)
+        cc = cand_colors[ql].reshape(b, p * m, 3)        # (row gather)
+        csq = cand_sq[ql].reshape(b, p * m)
         # ||q-c||^2 = ||c||^2 - 2 q.c + ||q||^2 (exact value needed for the
         # exp(1-d/3) weights); clamp tiny negative cancellation residue.
         cross = jax.lax.dot_general(
@@ -105,14 +113,15 @@ def knn_graph(
         )[:, 0, :]
         q_sq = jnp.sum(qc * qc, axis=-1)
         d = jnp.maximum(
-            cand_sq[ql] - 2.0 * cross + q_sq[:, None], 0.0
-        )                                                # [B, M]
+            csq - 2.0 * cross + q_sq[:, None], 0.0
+        )                                                # [B, P*M]
         # Self-matches must not be neighbours; drop via distance-inf.
         d = jnp.where(cand_ids == qi[:, None], jnp.inf, d)
         # k smallest by iterative argmin extraction — O(k) cheap VPU
         # reductions instead of a full [B, M] sort (lax.top_k lowers to a
         # sort, which is slow on TPU).  Duplicate candidate ids are masked
-        # out as they are selected, which also dedups repeated entries.
+        # out as they are selected, which also dedups repeated entries
+        # (within a cluster's subsample AND across merged memberships).
         work = d
         ids_list, d_list, slot_list = [], [], []
         for _ in range(k_num):
@@ -121,7 +130,10 @@ def knn_graph(
             cid = jnp.take_along_axis(cand_ids, j[:, None], 1)[:, 0]
             ids_list.append(cid)
             d_list.append(dj)
-            slot_list.append(ql * m + j.astype(jnp.int32))
+            # slot into the flat [K*M] table: owning cluster * m + offset
+            j32 = j.astype(jnp.int32)
+            owner = jnp.take_along_axis(ql, (j32 // m)[:, None], 1)[:, 0]
+            slot_list.append(owner * m + j32 % m)
             # mask every candidate slot holding this id (dedup + advance)
             work = jnp.where(cand_ids == cid[:, None], jnp.inf, work)
         ids = jnp.stack(ids_list, axis=1)
@@ -133,7 +145,7 @@ def knn_graph(
         return ids, weights, slots
 
     qc = q_colors.reshape(n_chunks, chunk, 3)
-    ql = q_labels.reshape(n_chunks, chunk)
+    ql = q_labels.reshape(n_chunks, chunk, p)
     qi = q_ids.reshape(n_chunks, chunk)
     ids, weights, slots = jax.lax.map(one_chunk, (qc, ql, qi))
     return (

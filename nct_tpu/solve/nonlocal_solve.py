@@ -104,6 +104,148 @@ def nonlocal_degree(nbr_ids: jnp.ndarray, nbr_w: jnp.ndarray, n: int):
     return deg
 
 
+def _coarsen_cellsum(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 cell sum with zero padding to even dims: [H, W, ...] -> [ceil(H/2),
+    ceil(W/2), ...]."""
+    h, w = x.shape[0], x.shape[1]
+    ph, pw = (-h) % 2, (-w) % 2
+    x = jnp.pad(x, ((0, ph), (0, pw)) + ((0, 0),) * (x.ndim - 2))
+    h2, w2 = (h + ph) // 2, (w + pw) // 2
+    x = x.reshape((h2, 2, w2, 2) + x.shape[2:])
+    return x.sum(axis=(1, 3))
+
+
+def _prolong_const(xc: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Piecewise-constant prolongation (adjoint of _coarsen_cellsum)."""
+    x = jnp.repeat(jnp.repeat(xc, 2, axis=0), 2, axis=1)
+    return x[:h, :w]
+
+
+def make_mg_preconditioner(
+    blk_aa: jnp.ndarray,
+    blk_ab: jnp.ndarray,
+    blk_bb: jnp.ndarray,
+    wx2: jnp.ndarray,
+    wy2: jnp.ndarray,
+    omega: float = 0.8,
+    coarsest: int = 8,
+    coarse_sweeps: int = 8,
+):
+    """Geometric-multigrid V-cycle preconditioner for the nonlocal system.
+
+    Approximates the inverse of  M = [[blk_aa, blk_ab], [blk_ab, blk_bb]]
+    (per-pixel 2x2 data+degree blocks, [H, W, 3]) + the weighted grid
+    Laplacian with edge weights wx2/wy2 applied to a and b independently.
+    The k-NN graph term enters only through its degree (folded into the
+    diagonal blocks by the caller) — the off-diagonal graph coupling is
+    left to the outer CG, which keeps the preconditioner free of gathers.
+
+    Construction keeps symmetry so PCG stays valid: piecewise-constant
+    prolongation P, restriction R = (1/4) P^T, Galerkin-exact coarse
+    coefficients for that P (cell-summed diagonal blocks scaled by 1/4;
+    coarse edge weight = 1/4 of the summed fine edges crossing the coarse
+    cell boundary — interior fine edges vanish in P^T L P), and equal
+    symmetric damped block-Jacobi sweeps before and after each coarse
+    visit.  The V-cycle is therefore a fixed SPD linear operator.
+
+    The reference has no analogue — it buys conditioning with an exact
+    direct solver (PARDISO, SparseSolver_CPU.cpp:104-286) and brute-force
+    CG iterations on GPU; on TPU the V-cycle is a handful of dense
+    stencils, so it replaces ~5-10x the CG iterations at ~0.3x the cost
+    of one k-NN gather pass.
+    """
+    levels = []
+    caa, cab, cbb = blk_aa, blk_ab, blk_bb
+    cwx, cwy = wx2, wy2
+    while True:
+        h, w = caa.shape[0], caa.shape[1]
+        deg = laplacian_degree(cwx, cwy)[..., None]
+        daa = caa + deg
+        dbb = cbb + deg
+        inv_det = 1.0 / (daa * dbb - cab * cab)
+        levels.append((caa, cab, cbb, cwx, cwy, daa, dbb, inv_det))
+        if min(h, w) <= coarsest or len(levels) >= 8:
+            break
+        # Galerkin coefficients for piecewise-constant P (see docstring).
+        caa = 0.25 * _coarsen_cellsum(caa)
+        cab = 0.25 * _coarsen_cellsum(cab)
+        cbb = 0.25 * _coarsen_cellsum(cbb)
+        # fine x-edges crossing a coarse column boundary sit at odd x;
+        # the two fine rows feeding one coarse row pair-sum along y
+        # (and vice versa for y-edges)
+        ph = (-h) % 2
+        pw = (-w) % 2
+        fx = jnp.pad(cwx, ((0, ph), (0, pw)))[:, 1::2]   # [h_pad, cw]
+        cwx = 0.25 * fx.reshape((h + ph) // 2, 2, -1).sum(axis=1)
+        fy = jnp.pad(cwy, ((0, ph), (0, pw)))[1::2, :]   # [ch, w_pad]
+        cwy = 0.25 * fy.reshape(-1, (w + pw) // 2, 2).sum(axis=2)
+
+    # red/black checkerboard masks per level (the 5-point grid Laplacian
+    # is bipartite, so updating one color with the current residual IS an
+    # exact Gauss-Seidel half-sweep — far stronger smoothing than damped
+    # Jacobi at the same stencil cost, and still branch-free VPU work)
+    masks = []
+    for (caa, *_rest) in levels:
+        h, w = caa.shape[0], caa.shape[1]
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        masks.append((((yy + xx) % 2 == 0).astype(jnp.float32))[..., None])
+
+    def level_apply(lev, xa, xb):
+        caa, cab, cbb, cwx, cwy, _, _, _ = levels[lev]
+        return (
+            caa * xa + cab * xb + laplacian_apply(xa, cwx, cwy),
+            cab * xa + cbb * xb + laplacian_apply(xb, cwx, cwy),
+        )
+
+    def half_sweep(lev, xa, xb, fa, fb, mask):
+        """Exact block-GS update of one checkerboard color."""
+        _, cab, _, _, _, daa, dbb, inv_det = levels[lev]
+        ma, mb = level_apply(lev, xa, xb)
+        ra, rb = fa - ma, fb - mb
+        return (
+            xa + mask * inv_det * (dbb * ra - cab * rb),
+            xb + mask * inv_det * (daa * rb - cab * ra),
+        )
+
+    def smooth(lev, xa, xb, fa, fb, reverse):
+        m = masks[lev]
+        first, second = (1.0 - m, m) if reverse else (m, 1.0 - m)
+        xa, xb = half_sweep(lev, xa, xb, fa, fb, first)
+        return half_sweep(lev, xa, xb, fa, fb, second)
+
+    def vcycle(lev, fa, fb):
+        _, cab, _, _, _, daa, dbb, inv_det = levels[lev]
+        if lev == len(levels) - 1:
+            xa = jnp.zeros_like(fa)
+            xb = jnp.zeros_like(fb)
+            for i in range(coarse_sweeps):
+                xa, xb = smooth(lev, xa, xb, fa, fb, reverse=bool(i % 2))
+            return xa, xb
+        # pre-smooth from zero start: red half-sweep degenerates to a
+        # masked block solve of f, then the black half-sweep
+        m = masks[lev]
+        xa = m * inv_det * (dbb * fa - cab * fb)
+        xb = m * inv_det * (daa * fb - cab * fa)
+        xa, xb = half_sweep(lev, xa, xb, fa, fb, 1.0 - m)
+        ma, mb = level_apply(lev, xa, xb)
+        rca = 0.25 * _coarsen_cellsum(fa - ma)
+        rcb = 0.25 * _coarsen_cellsum(fb - mb)
+        ea, eb = vcycle(lev + 1, rca, rcb)
+        h, w = fa.shape[0], fa.shape[1]
+        xa = xa + _prolong_const(ea, h, w)
+        xb = xb + _prolong_const(eb, h, w)
+        # post-smooth in reversed color order (adjoint of the pre-smooth,
+        # keeping the whole cycle symmetric)
+        return smooth(lev, xa, xb, fa, fb, reverse=True)
+
+    def precond(res):
+        ra, rb = res
+        return vcycle(0, ra, rb)
+
+    return precond
+
+
 def make_nonlocal_system(
     src_lab: jnp.ndarray,
     ref_lab: jnp.ndarray,
@@ -116,11 +258,17 @@ def make_nonlocal_system(
     nonlocal_weight: float = 2.0,
     candidates: jnp.ndarray | None = None,
     nbr_slots: jnp.ndarray | None = None,
+    precond_kind: str = "block_jacobi",
 ):
     """Build (operator, rhs, preconditioner) for the normal equations.
 
     Exposed separately so tests can probe the operator against a dense
     A^T A reconstruction of the reference's LS rows.
+
+    precond_kind: "block_jacobi" (exact per-pixel 2x2 inverse) or "mg"
+    (multigrid V-cycle over the data+local part, see
+    make_mg_preconditioner — far fewer CG iterations on the
+    Laplacian-dominated fine levels).
     """
     h, w, _ = src_lab.shape
     n = h * w
@@ -136,10 +284,14 @@ def make_nonlocal_system(
 
     # Gather-only symmetric apply.  Scatter-adds dominate the CG iteration
     # on TPU even with sorted indices, so the directed-pair transpose is
-    # precomputed ONCE as a fixed-width in-edge table: in_tab[j] lists the
-    # pair slots whose target is j (capped at IN_MAX; overflow pairs have
-    # their weight zeroed on BOTH sides, keeping the operator symmetric
-    # PSD).  Every CG iteration is then two gathers and zero scatters.
+    # precomputed ONCE as fixed-width in-edge tables: in_src[j]/in_w[j]
+    # list the SOURCE PIXEL and weight of each pair targeting j (capped at
+    # IN_MAX; overflow pairs have their weight zeroed on BOTH sides,
+    # keeping the operator symmetric PSD).  With per-pixel out/in degree
+    # diagonals precomputed, every CG iteration is pure weighted-sum
+    # gathers against u — no scatters, no [N*k]-row intermediate table
+    # (gather latency grows with the source table's row count, so
+    # gathering u [N] beats gathering a diff table [N*k]).
     in_max = 2 * k
     flat_t = nbr_ids.reshape(-1)                       # pair p -> target
     order = jnp.argsort(flat_t)
@@ -167,6 +319,18 @@ def make_nonlocal_system(
     pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
     pair_w_flat = pair_w.reshape(n * k)
 
+    # Resolve pair slots to (source pixel, weight); sentinel -> (self, 0).
+    valid = in_tab < n * k
+    in_tab_c = jnp.minimum(in_tab, n * k - 1)
+    in_src = jnp.where(
+        valid, (in_tab_c // k).astype(jnp.int32),
+        jnp.arange(n, dtype=jnp.int32)[:, None],
+    )
+    in_w = jnp.where(valid, pair_w_flat[in_tab_c], 0.0)
+    out_deg = jnp.sum(pair_w, axis=1)                  # [N]
+    in_deg = jnp.sum(in_w, axis=1)                     # [N]
+    both_deg = (out_deg + in_deg)[:, None]
+
     use_slots = candidates is not None and nbr_slots is not None
     if use_slots:
         cand_flat = candidates.reshape(-1)
@@ -180,14 +344,9 @@ def make_nonlocal_system(
             uj = u_cand[nbr_slots]                         # [N, k, C]
         else:
             uj = u[nbr_ids]                                # [N, k, C]
-        diff = (u[:, None, :] - uj) * pair_w[..., None]    # [N, k, C]
-        out = jnp.sum(diff, axis=1)
-        dpad = jnp.concatenate(
-            [diff.reshape(n * k, -1),
-             jnp.zeros((1, u.shape[1]), diff.dtype)], axis=0
-        )
-        out = out - jnp.sum(dpad[in_tab], axis=1)          # transpose side
-        return out
+        out_sum = jnp.sum(pair_w[..., None] * uj, axis=1)
+        in_sum = jnp.sum(in_w[..., None] * u[in_src], axis=1)
+        return both_deg * u - out_sum - in_sum
 
     def operator(x):
         a, b = x
@@ -213,9 +372,17 @@ def make_nonlocal_system(
     # d2*[[s^2, s],[s, 1]], and the Laplacians only add to the diagonal, so
     # the exact per-(pixel,channel) 2x2 block inverse is cheap and much
     # tighter than plain Jacobi on this system.
-    deg_loc = 2.0 * laplacian_degree(gx2, gy2)
-    deg_nl = nonlocal_degree(nbr_ids, pair_w, n).reshape(h, w)
-    deg = (deg_loc + deg_nl)[..., None]
+    deg_nl = nonlocal_degree(nbr_ids, pair_w, n).reshape(h, w)[..., None]
+    if precond_kind == "mg":
+        # data blocks + k-NN degree on the diagonal; the doubled local
+        # Laplacian is carried as explicit edge weights in the hierarchy
+        precond = make_mg_preconditioner(
+            d2 * s * s + deg_nl, d2 * s, d2 + deg_nl,
+            2.0 * gx2, 2.0 * gy2,
+        )
+        return operator, rhs, precond
+
+    deg = 2.0 * laplacian_degree(gx2, gy2)[..., None] + deg_nl
     blk_aa = d2 * s * s + deg
     blk_bb = d2 + deg
     blk_ab = d2 * s
@@ -231,7 +398,9 @@ def make_nonlocal_system(
     return operator, rhs, precond
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "precond_kind", "dynamic")
+)
 def solve_nonlocal(
     a0: jnp.ndarray,
     b0: jnp.ndarray,
@@ -248,6 +417,8 @@ def solve_nonlocal(
     tol: float = 1e-6,
     candidates: jnp.ndarray | None = None,
     nbr_slots: jnp.ndarray | None = None,
+    precond_kind: str = "block_jacobi",
+    dynamic: bool = True,
 ):
     """Solve for regularized (a, b) at down-res.  Returns (a, b) [H, W, 3].
 
@@ -259,9 +430,10 @@ def solve_nonlocal(
     operator, rhs, precond = make_nonlocal_system(
         src_lab, ref_lab, confidence, nbr_ids, nbr_w, norm_factor,
         local_weight, alpha, nonlocal_weight, candidates, nbr_slots,
+        precond_kind,
     )
     (a, b), _ = cg_solve(
         operator, rhs, (a0.astype(jnp.float32), b0.astype(jnp.float32)),
-        iters=iters, tol=tol, preconditioner=precond,
+        iters=iters, tol=tol, preconditioner=precond, dynamic=dynamic,
     )
     return a, b

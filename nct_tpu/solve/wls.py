@@ -50,7 +50,7 @@ def roughness_gate(
     return jnp.where(ok, 1.0, 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "dynamic"))
 def solve_wls(
     a_up: jnp.ndarray,
     b_up: jnp.ndarray,
@@ -59,6 +59,7 @@ def solve_wls(
     alpha: float = 1.2,
     iters: int = 400,
     tol: float = 1e-6,
+    dynamic: bool = True,
 ):
     """Smooth (a, b) maps at full resolution.  Returns (a, b) [H, W, 3].
 
@@ -90,7 +91,8 @@ def solve_wls(
         return (ra / diag, rb / diag)
 
     (a, b), _ = cg_solve(
-        operator, rhs, (a0, b0), iters=iters, tol=tol, preconditioner=precond
+        operator, rhs, (a0, b0), iters=iters, tol=tol,
+        preconditioner=precond, dynamic=dynamic,
     )
     return a, b
 

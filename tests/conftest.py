@@ -20,6 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: pipeline-scale tests recompile identical
+# programs across runs otherwise (minutes each).
+from nct_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

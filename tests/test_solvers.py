@@ -283,3 +283,74 @@ def test_wls_matches_dense_solve(rng):
         np.testing.assert_allclose(
             np.asarray(b_got[..., c]).reshape(-1), want_b, rtol=1e-2, atol=1e-2
         )
+
+
+def test_mg_preconditioner_symmetric_positive_definite(rng):
+    """The V-cycle must be a fixed SPD linear operator or PCG is invalid."""
+    from nct_tpu.solve.nonlocal_solve import make_mg_preconditioner
+
+    h, w = 13, 21  # odd dims exercise the padding paths
+    d2 = rng.uniform(0.5, 4.0, (h, w, 3)).astype(np.float32)
+    s = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    wx = rng.uniform(0.05, 50.0, (h, w)).astype(np.float32); wx[:, -1] = 0
+    wy = rng.uniform(0.05, 50.0, (h, w)).astype(np.float32); wy[-1, :] = 0
+    pre = make_mg_preconditioner(
+        jnp.asarray(d2 * s * s + 1.0), jnp.asarray(d2 * s),
+        jnp.asarray(d2 + 1.0), jnp.asarray(wx), jnp.asarray(wy),
+    )
+
+    def dot(a, b):
+        return sum(
+            float(jnp.sum(x1 * x2)) for x1, x2 in zip(a, b)
+        )
+
+    for seed in range(3):
+        r2 = np.random.default_rng(seed)
+        u = tuple(
+            jnp.asarray(r2.standard_normal((h, w, 3)), jnp.float32)
+            for _ in range(2)
+        )
+        v = tuple(
+            jnp.asarray(r2.standard_normal((h, w, 3)), jnp.float32)
+            for _ in range(2)
+        )
+        upv = dot(u, pre(v))
+        puv = dot(pre(u), v)
+        np.testing.assert_allclose(upv, puv, rtol=2e-4)
+        assert dot(u, pre(u)) > 0
+
+
+def test_nonlocal_solve_mg_matches_reference_normal_equations(rng):
+    """solve_nonlocal with the multigrid preconditioner reaches the same
+    solution of the reference's normal equations as block-Jacobi does."""
+    h, w = 4, 5
+    n = h * w
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    ids = _bounded_indegree_ids(rng, n, 4)
+    wts = rng.uniform(0.3, 2.0, (n, 4)).astype(np.float64)
+    nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
+
+    gx, gy = gradient_weights(jnp.asarray(s[..., 0], jnp.float32), lw, alpha)
+    gx, gy = np.asarray(gx, np.float64), np.asarray(gy, np.float64)
+
+    a_got, b_got = solve_nonlocal(
+        jnp.zeros((h, w, 3)), jnp.zeros((h, w, 3)),
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32),
+        jnp.asarray(ids), jnp.asarray(wts, jnp.float32),
+        nf, lw, alpha, nlw, iters=400, tol=1e-12, precond_kind="mg",
+    )
+
+    for c in range(3):
+        A, rhs = _reference_nonlocal_rows(
+            s[..., c], r[..., c], conf, nf, gx, gy, ids, wts, nlw, 4
+        )
+        x = np.linalg.solve(A.T @ A, A.T @ rhs)
+        np.testing.assert_allclose(
+            np.asarray(a_got[..., c]).reshape(-1), x[:n], rtol=2e-2, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_got[..., c]).reshape(-1), x[n:], rtol=2e-2, atol=2e-2
+        )

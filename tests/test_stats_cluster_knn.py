@@ -142,3 +142,69 @@ def test_sample_cluster_candidates_members_only(rng):
     )
     assert np.all(cand[0] < 8)
     assert np.all(cand[1] >= 8)
+
+
+def test_knn_graph_multi_cluster_matches_union_bruteforce(rng):
+    """P=2 memberships: the k best of the UNION of both clusters'
+    candidates must be returned (reference merge semantics,
+    ColorTransfer.cpp:397-423 + :60-110)."""
+    h, w, k = 4, 6, 3
+    n = h * w
+    lab = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    # two clusters splitting the pixels evenly; every pixel queries BOTH
+    half = n // 2
+    candidates = jnp.stack([
+        jnp.arange(half, dtype=jnp.int32),
+        jnp.arange(half, n, dtype=jnp.int32),
+    ])
+    multi = jnp.tile(jnp.asarray([0, 1], jnp.int32), (h, w, 1))
+    ids, wts, slots = knn.knn_graph(
+        jnp.asarray(lab), multi, candidates, k_num=k
+    )
+    np.testing.assert_array_equal(
+        np.asarray(candidates).reshape(-1)[np.asarray(slots)],
+        np.asarray(ids),
+    )
+    ids = np.asarray(ids)
+    flat = lab.reshape(n, 3).astype(np.float64)
+    for i in range(n):
+        d = ((flat - flat[i]) ** 2).sum(axis=1)
+        d[i] = np.inf
+        want = set(np.argsort(d)[:k])
+        assert set(ids[i]) == want, f"pixel {i}"
+
+
+def test_knn_graph_single_membership_column_equals_primary(rng):
+    """[H, W, 1] membership lists must reproduce the [H, W] path exactly."""
+    h, w, k = 5, 4, 3
+    n = h * w
+    lab = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    labels = jnp.asarray(rng.integers(0, 2, (h, w)), jnp.int32)
+    candidates = jnp.stack([
+        jnp.arange(0, n, 2, dtype=jnp.int32),
+        jnp.arange(1, n, 2, dtype=jnp.int32),
+    ])
+    a = knn.knn_graph(jnp.asarray(lab), labels, candidates, k_num=k)
+    b = knn.knn_graph(
+        jnp.asarray(lab), labels[..., None], candidates, k_num=k
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multi_labels_for_pixels_primary_first():
+    labels = jnp.asarray([[0, 1], [1, 1]], jnp.int32)
+    member = cluster.cluster_membership(labels, 3)
+    ml = np.asarray(
+        cluster.multi_labels_for_pixels(labels, member, 2, 2, 1, 2)
+    )
+    lab = np.asarray(labels)
+    # first membership is always the primary cluster
+    np.testing.assert_array_equal(ml[..., 0], lab)
+    # cell (0,0) is cluster 0 but 4-adjacent to cluster 1 cells -> merged
+    assert ml[0, 0, 1] == 1
+    # second slot never a non-member: every listed cluster contains the cell
+    m = np.asarray(member)
+    for y in range(2):
+        for x in range(2):
+            assert m[ml[y, x, 1], y, x]

@@ -38,17 +38,21 @@ def run(params, cnt, stl, config, key):
 CONFIGS = {
     "default": Config(),
     "patchmatch": dataclasses.replace(Config(), fine_strategy="patchmatch"),
+    # round-1 default: block-Jacobi PCG at the halved reference budgets
+    "bj": dataclasses.replace(Config(), nl_precond="block_jacobi"),
+    # reference-faithful multi-cluster kNN merge (2 memberships)
+    "knn2": dataclasses.replace(Config(), knn_memberships=2),
     # default matcher, reference solver budgets — isolates CG effects
     "cgfull": dataclasses.replace(
-        Config(), cg_iters=100, cg_iters_final=50, wls_cg_iters=400,
-        cg_tol=1e-6,
+        Config(), nl_precond="block_jacobi", cg_iters=100,
+        cg_iters_final=50, wls_cg_iters=400, cg_tol=1e-6,
     ),
     # full reference-shaped search + solver budgets (PatchMatch everywhere,
     # 10 iters, unhalved CG budgets, tight tolerance)
     "parity": dataclasses.replace(
         Config(), exact_nn_levels=0, fine_strategy="patchmatch",
-        pm_iters=10, pm_iters_fine=10, cg_iters=100, cg_iters_final=50,
-        wls_cg_iters=400, cg_tol=1e-6,
+        pm_iters=10, pm_iters_fine=10, nl_precond="block_jacobi",
+        cg_iters=100, cg_iters_final=50, wls_cg_iters=400, cg_tol=1e-6,
     ),
 }
 

@@ -141,13 +141,17 @@ def main():
         b0 = jnp.zeros((ah, aw, 3), jnp.float32)
         glab = jnp.asarray(rng.uniform(0, 1, (ah, aw, 3)), jnp.float32)
         nf = float(H * W) / (ah * aw)
-        iters = 50 if lvl == 4 else 100
+        if cfg.nl_precond == "mg":
+            iters = cfg.cg_iters_final_mg if lvl == 4 else cfg.cg_iters_mg
+        else:
+            iters = cfg.cg_iters_final if lvl == 4 else cfg.cg_iters
         timed(
-            f"nonlocal_cg{iters}_tol{cfg.cg_tol:g}_L{lvl}",
+            f"nonlocal_{cfg.nl_precond}{iters}_tol{cfg.cg_tol:g}_L{lvl}",
             lambda: solve_nonlocal(
                 a0, b0, lab, glab, conf, ids, wts, nf,
                 iters=iters, tol=cfg.cg_tol,
                 candidates=cand, nbr_slots=slots,
+                precond_kind=cfg.nl_precond,
             ),
         )
 
