@@ -69,6 +69,11 @@ class Config:
 
     # --- TPU execution knobs (no reference equivalent) -------------------
     feature_dtype: str = "bfloat16"  # halves matcher HBM traffic; f32 accum
+    # VGG forward compute dtype; "" follows feature_dtype.  Space-sharded
+    # meshes force "float32": XLA 0.9's SPMD partitioner mis-types the
+    # halo-padding broadcast of row-sharded bf16 convolutions (hlo_verifier
+    # RET_CHECK SameElementType) — see parallel/batch.py.
+    vgg_compute_dtype: str = ""
     kmeans_iters: int = 11          # ref FLANN KMeansIndexParams(.., 11, ..)
     # Levels [0, exact_nn_levels) use the exhaustive streaming-matmul NN
     # search (ops/exact_nn.py) — the global optimum of the reference's
@@ -81,7 +86,17 @@ class Config:
     # "patchmatch" = the reference-shaped sweep search.
     fine_strategy: str = "window"
     window_radius: int = 4
-    window_shortlist: int = 8
+    # Rescored candidates per pixel: the shortlist is ranked by the
+    # patch-APPROXIMATE score (3x3 box-sum of centre distances), which is
+    # near-exact under an offset-preserving upsample, so 2 exact rescores
+    # suffice (SSIM 0.998 vs 8 rescores at 192 px; each rescore is an
+    # Ha*Wa-row gather of K*C-wide patch rows).
+    window_shortlist: int = 2
+    # Nonlocal transpose-table cap: in-edges kept per candidate slot (the
+    # strongest under the cap).  Every directed k-NN pair targets one of
+    # the ~K*M candidate pixels, whose mean in-degree at 700 px is ~120 —
+    # the cap trades CG-iteration gather rows for graph completeness.
+    nl_in_cap: int = 128
     # k-NN graph: how many of a pixel's (dilated) cluster memberships are
     # queried and merged.  1 = primary cluster only; >1 restores the
     # reference's multi-cluster kd-tree merge (ColorTransfer.cpp:397-423)

@@ -1,23 +1,31 @@
-"""Two-stage local window refinement of an upsampled NNF.
+"""Three-stage local window refinement of an upsampled NNF.
 
 Fine-pyramid alternative to PatchMatch (reference: patchmatch_single,
 GeneralizedPatchMatch.cu:677-831).  Once the coarser level's field is
 globally optimal (ops/exact_nn.py), the finest-level search is local by
 construction — the reference itself only random-searches radius 32 there —
 so instead of sequential propagation this evaluates a dense shift window
-around the upsampled match in two stages:
+around the upsampled match:
 
   1. CENTER stage: distance of the centre feature only,
-     d_w(p) = -<A[p], B[nnf0(p)+w]>, for every shift |w|_inf <= radius —
-     a C-sized gather per shift instead of K*C (9x cheaper traffic);
-  2. RESCORE stage: the S best shifts per pixel are re-scored with the
+     d_w(p) = -<A[p], B[nnf0(p)+w]>, for every shift |w|_inf <= radius.
+     All shifts address B at fixed offsets from the same base nnf0(p), so
+     chunks of pre-rolled, channel-concatenated copies of B reduce the
+     whole window to ~8 gathers of Ha*Wa rows (gather cost on TPU scales
+     with ROW count, not bytes — one [N]-row gather of sc*C lanes beats
+     sc [N]-row gathers);
+  2. PATCH-APPROX stage: the exact patch metric of candidate nnf0(p)+w is
+     sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled field is
+     locally translation-consistent (offset-preserving upsample => almost
+     everywhere) that equals the 3x3 box-sum of d_w over a-space — one
+     reduce_window scores every shift with patch context;
+  3. RESCORE stage: the S best shifts per pixel are re-scored with the
      full masked-cosine 3x3 patch metric (dist_compute_single semantics),
      and the incumbent match competes too, so the refinement never
      regresses below the upsampled field.
 
-Traffic: (2r+1)^2 * N * C * 2B + S * N * K * C * 2B versus PatchMatch's
-~22 * iters full-patch evaluations — about 9x less at the default
-radius=4, shortlist=8 on conv1_1 shapes.
+Traffic at the defaults (radius=4, shortlist=2) on conv1_1 shapes is
+~25x less than 4-iteration PatchMatch's ~22 full-patch gather rounds.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ def window_refine(
     nb = hb * wb
 
     a32 = a_norm.astype(jnp.bfloat16)
-    b_flat = b_norm.astype(jnp.bfloat16).reshape(nb, c)
+    b16 = b_norm.astype(jnp.bfloat16)
 
     # Dense +-radius window plus sparse far rings (8 compass points at
     # 2r and 4r): the reference's random search reaches radius 32 at the
@@ -70,34 +78,68 @@ def window_refine(
         for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1),
                        (1, 1), (1, -1), (-1, 1), (-1, -1))
     ]
-    shifts = jnp.asarray(dense + rings, dtype=jnp.int32)    # [S2, 2]
-    n_shifts = shifts.shape[0]
+    shift_list = dense + rings
+    shifts = jnp.asarray(shift_list, dtype=jnp.int32)       # [S2, 2]
+    n_shifts = len(shift_list)
 
     bx0 = nnf0[..., 0]
     by0 = nnf0[..., 1]
 
-    # ---- stage 1: centre-feature distances for every shift, chunked
-    pad = (-n_shifts) % shift_chunk
-    shifts_p = jnp.pad(shifts, ((0, pad), (0, 0)))
-    n_chunks = (n_shifts + pad) // shift_chunk
-
-    def center_chunk(sh):
-        # sh: [sc, 2] -> distances [sc, Ha, Wa]
-        cx = jnp.clip(bx0[None] + sh[:, 0, None, None], 0, wb - 1)
-        cy = jnp.clip(by0[None] + sh[:, 1, None, None], 0, hb - 1)
-        idx = cy * wb + cx                              # [sc, Ha, Wa]
-        g = b_flat[idx]                                 # [sc, Ha, Wa, C]
-        return -jnp.einsum(
-            "hwc,shwc->shw", a32, g, preferred_element_type=jnp.float32
+    # ---- stage 1: centre-feature distances for every shift.  Every shift
+    # addresses B at a fixed offset from the SAME base coordinate nnf0(p),
+    # and gather cost on TPU scales with gathered row count — so instead of
+    # one [sc*Ha*Wa]-row gather per chunk, each chunk pre-rolls B by its
+    # shifts, concatenates along channels, and gathers ONCE at the base
+    # NNF ([Ha*Wa] rows).  Off-image shifts are masked to +inf (the
+    # reference's random search simply never proposes them); the (0,0)
+    # shift is always valid, and stage 2 keeps the incumbent regardless.
+    idx0 = by0 * wb + bx0                                   # in-bounds
+    d_chunks = []
+    for s0 in range(0, n_shifts, shift_chunk):
+        chunk = shift_list[s0:s0 + shift_chunk]
+        sc = len(chunk)
+        cat = jnp.concatenate(
+            [jnp.roll(b16, shift=(-dy, -dx), axis=(0, 1))
+             for dx, dy in chunk],
+            axis=-1,
+        ).reshape(nb, sc * c)
+        g = cat[idx0].reshape(ha, wa, sc, c)                # [Ha, Wa, sc, C]
+        d = -jnp.einsum(
+            "hwc,hwsc->shw", a32, g, preferred_element_type=jnp.float32
         )
+        for i, (dx, dy) in enumerate(chunk):
+            valid = (
+                (bx0 + dx >= 0) & (bx0 + dx < wb)
+                & (by0 + dy >= 0) & (by0 + dy < hb)
+            )
+            d = d.at[i].set(jnp.where(valid, d[i], jnp.inf))
+        d_chunks.append(d)
+    d_center = jnp.concatenate(d_chunks, axis=0)            # [S2, Ha, Wa]
 
-    d_center = jax.lax.map(
-        center_chunk, shifts_p.reshape(n_chunks, shift_chunk, 2)
-    ).reshape(-1, ha, wa)[:n_shifts]                    # [S2, Ha, Wa]
+    # ---- patch-approximate scores: the exact patch metric of candidate
+    # nnf0(p)+w is sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled
+    # field is locally translation-consistent (nnf0(p+o) = nnf0(p)+o — an
+    # offset-preserving upsample makes that hold except across parent-cell
+    # boundaries), that sum is EXACTLY the 3x3 box-sum of d_center[w] in
+    # a-space.  One reduce_window scores every shift with patch context,
+    # so only the top picks need the exact gather-based rescore (stage 2
+    # still clips, re-scores exactly, and keeps the incumbent, so field
+    # inconsistencies can only cost candidate quality, never correctness).
+    finite = jnp.isfinite(d_center)
+    win = (1, patch_size, patch_size)
+    num = jax.lax.reduce_window(
+        jnp.where(finite, d_center, 0.0), 0.0, jax.lax.add,
+        win, (1, 1, 1), "SAME",
+    )
+    cnt = jax.lax.reduce_window(
+        finite.astype(jnp.float32), 0.0, jax.lax.add,
+        win, (1, 1, 1), "SAME",
+    )
+    d_patch = jnp.where(cnt > 0, num / cnt, jnp.inf)
 
-    # ---- shortlist: S best shifts per pixel by centre distance
+    # ---- shortlist: S best shifts per pixel by approximate patch score
     s_count = min(shortlist, n_shifts)
-    work = d_center
+    work = d_patch
     picks = []
     for _ in range(s_count):
         j = jnp.argmin(work, axis=0)                    # [Ha, Wa]

@@ -35,6 +35,13 @@ def make_batch_transfer(config: Config, mesh: Mesh | None = None):
     # element at every step; fixed-trip scan CG keeps the batch in lockstep
     # with masked updates instead (identical results).
     config = dataclasses.replace(config, cg_dynamic=False)
+    if mesh is not None and mesh.shape.get("space", 1) > 1:
+        # XLA 0.9's SPMD partitioner emits a mis-typed halo-padding
+        # broadcast for row-sharded bf16 convolutions (hlo_verifier
+        # RET_CHECK SameElementType after spmd-partitioning); run the VGG
+        # forward in f32 under space sharding — the matcher still casts
+        # features to feature_dtype afterwards.
+        config = dataclasses.replace(config, vgg_compute_dtype="float32")
 
     def single(params, cnt, stl, key, bds_weight):
         return transfer_pair(params, cnt, stl, bds_weight, config, key=key)

@@ -115,8 +115,9 @@ def transfer_pair(
     stl_dims = [stl_dims_map[t] for t in taps]
 
     bf16 = config.feature_dtype == "bfloat16"
-    cnt_feats = vgg19.features_jit(params, cnt, taps, bf16)
-    stl_feats = vgg19.features_jit(params, stl, taps, bf16)
+    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
+    cnt_feats = vgg19.features_jit(params, cnt, taps, vgg_bf16)
+    stl_feats = vgg19.features_jit(params, stl, taps, vgg_bf16)
 
     cnt_pyr = image_pyramid(cnt, cnt_dims)
     stl_pyr = image_pyramid(stl, stl_dims)
@@ -279,6 +280,7 @@ def transfer_pair(
             config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
             candidates=candidates, nbr_slots=nbr_slots,
             precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
+            in_cap=config.nl_in_cap,
         )
         prev_ab = (a_d, b_d)
 
@@ -313,7 +315,7 @@ def transfer_pair(
         cnt_feats_next = state.cnt_feats
         if l < numlayer - 1:
             cnt_feats_next = vgg19.features_jit(
-                params, refined, (taps[l + 1],), bf16
+                params, refined, (taps[l + 1],), vgg_bf16
             )
         # Barrier the cross-level state: in the fully-fused program XLA's
         # scheduler may otherwise hoist later levels' large intermediates

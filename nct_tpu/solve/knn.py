@@ -85,6 +85,11 @@ def knn_graph(
     labels_flat = pixel_labels.reshape(n, p)
     m = candidates.shape[1]
 
+    if p == 1:
+        return _knn_graph_sorted(
+            colors, labels_flat[:, 0], candidates, k_num, chunk
+        )
+
     pad = (-n) % chunk
     q_colors = jnp.pad(colors, ((0, pad), (0, 0)))
     q_labels = jnp.pad(labels_flat, ((0, pad), (0, 0)))
@@ -153,3 +158,97 @@ def knn_graph(
         weights.reshape(-1, k_num)[:n],
         slots.reshape(-1, k_num)[:n],
     )
+
+
+def _knn_graph_sorted(
+    colors: jnp.ndarray,
+    labels: jnp.ndarray,
+    candidates: jnp.ndarray,
+    k_num: int,
+    chunk: int,
+):
+    """Single-membership fast path: pixels sorted by cluster, chunks
+    aligned to cluster starts.
+
+    The generic path gathers each pixel's cluster candidate table as one
+    M*3-float row — ~7 GB of gather traffic at 700 px.  Grouping pixels by
+    their (single) cluster makes every chunk single-cluster, so each chunk
+    reads its candidate table ONCE; the extra cost is two N-element
+    permutations at build time.  Semantics are identical to the generic
+    path (same distances, same first-min tie-breaking within a cluster's
+    candidate order).
+    """
+    n = colors.shape[0]
+    kc, m = candidates.shape
+    n_chunks = (n + chunk - 1) // chunk + (kc - 1)   # static upper bound
+
+    order = jnp.argsort(labels)                       # stable: groups clusters
+    counts = jnp.bincount(labels, length=kc)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    n_chunks_c = -(-counts // chunk)                  # ceil per cluster
+    chunk_off = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(n_chunks_c)[:-1]]
+    )
+
+    # chunk row -> (cluster, first sorted position, validity count)
+    rows = jnp.arange(n_chunks, dtype=jnp.int32)
+    row_cluster = (
+        jnp.searchsorted(jnp.cumsum(n_chunks_c), rows, side="right")
+    ).astype(jnp.int32)
+    row_cluster = jnp.minimum(row_cluster, kc - 1)
+    local_j = rows - chunk_off[row_cluster].astype(jnp.int32)
+    data_start = (starts[row_cluster] + local_j * chunk).astype(jnp.int32)
+    cluster_end = (starts[row_cluster] + counts[row_cluster]).astype(jnp.int32)
+
+    cand_colors = colors[candidates]                  # [K, M, 3]
+    cand_sq = jnp.sum(cand_colors * cand_colors, axis=-1)
+
+    def one_chunk(args):
+        c, d0, dend = args
+        pos = d0 + jnp.arange(chunk, dtype=jnp.int32)
+        valid = pos < dend
+        pid = order[jnp.minimum(pos, n - 1)].astype(jnp.int32)
+        qc = colors[pid]                              # [B, 3]
+        cand_ids = candidates[c]                      # [M]
+        cc = cand_colors[c]                           # [M, 3]
+        csq = cand_sq[c]                              # [M]
+        cross = qc @ cc.T                             # [B, M]
+        q_sq = jnp.sum(qc * qc, axis=-1)
+        d = jnp.maximum(csq[None, :] - 2.0 * cross + q_sq[:, None], 0.0)
+        d = jnp.where(cand_ids[None, :] == pid[:, None], jnp.inf, d)
+        work = d
+        ids_list, d_list, slot_list = [], [], []
+        for _ in range(k_num):
+            j = jnp.argmin(work, axis=1)
+            dj = jnp.take_along_axis(work, j[:, None], 1)[:, 0]
+            cid = cand_ids[j]
+            ids_list.append(cid)
+            d_list.append(dj)
+            slot_list.append(c * m + j.astype(jnp.int32))
+            work = jnp.where(cand_ids[None, :] == cid[:, None], jnp.inf, work)
+        ids = jnp.stack(ids_list, axis=1)
+        dists = jnp.stack(d_list, axis=1)
+        slots = jnp.stack(slot_list, axis=1)
+        weights = jnp.where(
+            jnp.isfinite(dists), jnp.exp(1.0 - dists / 3.0), 0.0
+        )
+        return pid, valid, ids, weights, slots
+
+    pid, valid, ids, weights, slots = jax.lax.map(
+        one_chunk, (row_cluster, data_start, cluster_end)
+    )
+    pid = pid.reshape(-1)
+    valid = valid.reshape(-1)
+    tgt = jnp.where(valid, pid, n)                    # sentinel row n
+    ids_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
+        ids.reshape(-1, k_num), unique_indices=False
+    )
+    w_o = jnp.zeros((n + 1, k_num), jnp.float32).at[tgt].set(
+        weights.reshape(-1, k_num), unique_indices=False
+    )
+    s_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
+        slots.reshape(-1, k_num), unique_indices=False
+    )
+    return ids_o[:n], w_o[:n], s_o[:n]

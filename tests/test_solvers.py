@@ -354,3 +354,89 @@ def test_nonlocal_solve_mg_matches_reference_normal_equations(rng):
         np.testing.assert_allclose(
             np.asarray(b_got[..., c]).reshape(-1), x[n:], rtol=2e-2, atol=2e-2
         )
+
+
+def test_nonlocal_slot_path_matches_dense_normal_matrix(rng):
+    """Operator with candidates/nbr_slots (the pipeline path, slot-keyed
+    in-edge tables) == A^T A of the literal reference rows when the
+    in-cap is ample — including duplicate candidate entries and pixels
+    that are candidates several times."""
+    h, w = 3, 4
+    n = h * w
+    kc, m, k = 3, 5, 4                       # 3 clusters x 5 candidates
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    cand_flat = candidates.reshape(-1)
+    nbr_slots = rng.integers(0, kc * m, (n, k)).astype(np.int32)
+    ids = cand_flat[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+    nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
+
+    gx, gy = gradient_weights(jnp.asarray(s[..., 0], jnp.float32), lw, alpha)
+    gx, gy = np.asarray(gx, np.float64), np.asarray(gy, np.float64)
+
+    operator, rhs, _ = make_nonlocal_system(
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32), jnp.asarray(ids),
+        jnp.asarray(wts, jnp.float32), nf, lw, alpha, nlw,
+        candidates=jnp.asarray(candidates),
+        nbr_slots=jnp.asarray(nbr_slots),
+        in_cap=n * k,
+    )
+
+    x_a = rng.standard_normal((h, w, 3)).astype(np.float32)
+    x_b = rng.standard_normal((h, w, 3)).astype(np.float32)
+    got_a, got_b = operator((jnp.asarray(x_a), jnp.asarray(x_b)))
+
+    for c in range(3):
+        A, _rb = _reference_nonlocal_rows(
+            s[..., c], r[..., c], conf, nf, gx, gy, ids, wts, nlw, k
+        )
+        NtN = A.T @ A
+        x = np.concatenate([x_a[..., c].reshape(-1), x_b[..., c].reshape(-1)])
+        want = NtN @ x
+        got = np.concatenate([
+            np.asarray(got_a[..., c]).reshape(-1),
+            np.asarray(got_b[..., c]).reshape(-1),
+        ])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_nonlocal_slot_path_capped_stays_symmetric(rng):
+    """When the in-cap truncates (hub candidates), the operator must stay
+    symmetric (dropped edges zeroed on BOTH sides) or CG diverges."""
+    h, w = 4, 4
+    n = h * w
+    kc, m, k = 2, 3, 6
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    # every pixel targets slot 0 a lot -> in-degree ~n*k/(kc*m) >> cap
+    nbr_slots = rng.integers(0, kc * m, (n, k)).astype(np.int32)
+    ids = candidates.reshape(-1)[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+
+    operator, _, _ = make_nonlocal_system(
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32), jnp.asarray(ids),
+        jnp.asarray(wts, jnp.float32), 4.0,
+        candidates=jnp.asarray(candidates),
+        nbr_slots=jnp.asarray(nbr_slots),
+        in_cap=4,
+    )
+
+    def dot(u, v):
+        return sum(float(jnp.sum(a * b)) for a, b in zip(u, v))
+
+    for seed in range(3):
+        r2 = np.random.default_rng(seed)
+        u = tuple(jnp.asarray(r2.standard_normal((h, w, 3)), jnp.float32)
+                  for _ in range(2))
+        v = tuple(jnp.asarray(r2.standard_normal((h, w, 3)), jnp.float32)
+                  for _ in range(2))
+        np.testing.assert_allclose(
+            dot(u, operator(v)), dot(operator(u), v), rtol=2e-4
+        )

@@ -42,6 +42,14 @@ CONFIGS = {
     "bj": dataclasses.replace(Config(), nl_precond="block_jacobi"),
     # reference-faithful multi-cluster kNN merge (2 memberships)
     "knn2": dataclasses.replace(Config(), knn_memberships=2),
+    # window-refine rescore-count ablation (patch-approx shortlist)
+    "w2": dataclasses.replace(Config(), window_shortlist=2),
+    "w4": dataclasses.replace(Config(), window_shortlist=4),
+    "w8": dataclasses.replace(Config(), window_shortlist=8),
+    # window refinement replacing the exact-NN search at conv2_1 too
+    "xnn3": dataclasses.replace(Config(), exact_nn_levels=3),
+    # nonlocal in-edge cap ablation
+    "cap32": dataclasses.replace(Config(), nl_in_cap=32),
     # default matcher, reference solver budgets — isolates CG effects
     "cgfull": dataclasses.replace(
         Config(), nl_precond="block_jacobi", cg_iters=100,

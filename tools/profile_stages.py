@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nct_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 from nct_tpu.config import Config
 from nct_tpu.models import vgg19
 from nct_tpu.ops import bds, features, nnf, patchmatch
@@ -97,6 +101,15 @@ def main():
                 lambda a, b: exact_nn_pallas(a, b, 3)[0],
                 fa_n, fb_n,
             )
+            if lvl == 3:
+                from nct_tpu.ops.window_refine import window_refine
+                timed(
+                    f"window_refine_L{lvl}",
+                    lambda a, b, n0: window_refine(
+                        a, b, n0, cfg.window_radius, cfg.window_shortlist
+                    )[0],
+                    fa_n, fb_n, ann0,
+                )
         else:
             from nct_tpu.ops.window_refine import window_refine
             ann = timed(
