@@ -205,6 +205,22 @@ def _knn_graph_sorted(
     cand_colors = colors[candidates]                  # [K, M, 3]
     cand_sq = jnp.sum(cand_colors * cand_colors, axis=-1)
 
+    # Duplicate candidate entries (small clusters are padded by repeating
+    # members) are masked to their FIRST occurrence once per cluster —
+    # duplicates share a distance, so this reproduces the generic path's
+    # per-pick id-dedup exactly, and distinct-id rows are a precondition
+    # for the two-level group selection below.
+    cid_sorted_ord = jnp.argsort(candidates, axis=1)
+    cid_sorted = jnp.take_along_axis(candidates, cid_sorted_ord, axis=1)
+    is_first_sorted = jnp.concatenate(
+        [jnp.ones((kc, 1), bool), cid_sorted[:, 1:] != cid_sorted[:, :-1]],
+        axis=1,
+    )
+    first_mask = jnp.zeros((kc, m), bool)
+    first_mask = first_mask.at[
+        jnp.arange(kc, dtype=jnp.int32)[:, None], cid_sorted_ord
+    ].set(is_first_sorted)
+
     def one_chunk(args):
         c, d0, dend = args
         pos = d0 + jnp.arange(chunk, dtype=jnp.int32)
@@ -218,22 +234,37 @@ def _knn_graph_sorted(
         q_sq = jnp.sum(qc * qc, axis=-1)
         d = jnp.maximum(csq[None, :] - 2.0 * cross + q_sq[:, None], 0.0)
         d = jnp.where(cand_ids[None, :] == pid[:, None], jnp.inf, d)
-        work = d
-        ids_list, d_list, slot_list = [], [], []
+        d = jnp.where(first_mask[c][None, :], d, jnp.inf)
+        # extraction passes RANK on bf16 keys (halves the HBM traffic of
+        # the stage's dominant cost); exact f32 distances for the k
+        # winners are recomputed afterwards from their colours in one
+        # [B*k]-row gather, so the exp(1-d/3) weights stay exact without
+        # re-reading the f32 row per pick.  Rows are duplicate-free
+        # (first_mask), so advancing = masking the one selected column.
+        nfin = jnp.sum(jnp.isfinite(d), axis=1)       # finite candidates
+        work = d.astype(jnp.bfloat16)
+        ids_list, slot_list = [], []
         for _ in range(k_num):
             j = jnp.argmin(work, axis=1)
-            dj = jnp.take_along_axis(work, j[:, None], 1)[:, 0]
-            cid = cand_ids[j]
-            ids_list.append(cid)
-            d_list.append(dj)
+            ids_list.append(cand_ids[j])
             slot_list.append(c * m + j.astype(jnp.int32))
-            work = jnp.where(cand_ids[None, :] == cid[:, None], jnp.inf, work)
-        ids = jnp.stack(ids_list, axis=1)
-        dists = jnp.stack(d_list, axis=1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+                == j[:, None]
+            )
+            work = jnp.where(onehot, jnp.inf, work)
+        ids = jnp.stack(ids_list, axis=1)             # [B, k]
         slots = jnp.stack(slot_list, axis=1)
-        weights = jnp.where(
-            jnp.isfinite(dists), jnp.exp(1.0 - dists / 3.0), 0.0
+        ncol = colors[ids]                            # [B, k, 3]
+        dists = jnp.maximum(
+            jnp.sum((qc[:, None, :] - ncol) ** 2, axis=-1), 0.0
         )
+        # pick t consumed one finite column while any remained
+        alive = (
+            jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+            < nfin[:, None]
+        )
+        weights = jnp.where(alive, jnp.exp(1.0 - dists / 3.0), 0.0)
         return pid, valid, ids, weights, slots
 
     pid, valid, ids, weights, slots = jax.lax.map(
