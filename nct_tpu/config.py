@@ -108,5 +108,13 @@ class Config:
         return [max_len // 16, max_len // 32, max_len // 64, 32, 32]
 
     def vgg_layers(self) -> list[str]:
-        """Coarse-to-fine feature taps (ref main.cu:55-59), post-ReLU."""
-        return ["conv5_1", "conv4_1", "conv3_1", "conv2_1", "conv1_1"]
+        """Coarse-to-fine feature taps (ref main.cu:55-59), post-ReLU.
+
+        ``num_levels < 5`` truncates the pyramid to its COARSEST levels;
+        every level already refines the full-resolution image (WLS runs at
+        full res each pass), so a truncated run still returns a full-res
+        result — a cheap preview / fast-serving mode the reference's fixed
+        5-level loop does not offer.
+        """
+        taps = ["conv5_1", "conv4_1", "conv3_1", "conv2_1", "conv1_1"]
+        return taps[: max(1, min(self.num_levels, len(taps)))]

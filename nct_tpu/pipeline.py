@@ -60,10 +60,18 @@ def image_pyramid(
     img_u8: jnp.ndarray, dims: list[tuple[int, int]]
 ) -> list[jnp.ndarray]:
     """Cascaded INTER_LINEAR pyramid: each level resized from the next finer
-    one (ref main.cu:104-108 resizes cntImages[l+1] -> cntImages[l])."""
+    one (ref main.cu:104-108 resizes cntImages[l+1] -> cntImages[l]).
+
+    In the full 5-level pipeline the finest dims equal the image dims; a
+    truncated pyramid (config.num_levels < 5) resizes the finest level too.
+    """
     n = len(dims)
     out: list[Any] = [None] * n
-    out[n - 1] = img_u8
+    h, w = dims[n - 1]
+    if img_u8.shape[:2] == (h, w):
+        out[n - 1] = img_u8
+    else:
+        out[n - 1] = resize.resize_bilinear(img_u8, h, w)
     for l in range(n - 2, -1, -1):
         h, w = dims[l]
         out[l] = resize.resize_bilinear(out[l + 1], h, w)

@@ -82,3 +82,18 @@ def test_image_pyramid_cascade():
     for (h, w), lvl in zip(dims, pyr):
         assert lvl.shape[:2] == (h, w)
     np.testing.assert_array_equal(np.asarray(pyr[-1]), np.asarray(img))
+
+
+def test_truncated_pyramid_runs_full_res(tiny_setup):
+    """num_levels < 5 truncates to the coarsest taps but still returns a
+    full-resolution result (WLS refines at full res every level)."""
+    import dataclasses
+
+    params, cnt, stl, config = tiny_setup
+    cfg2 = dataclasses.replace(config, num_levels=2)
+    assert cfg2.vgg_layers() == ["conv5_1", "conv4_1"]
+    out = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, cfg2, key=jax.random.PRNGKey(0))
+    )
+    assert out.shape == cnt.shape and out.dtype == np.uint8
+    assert out.std() > 0
