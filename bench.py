@@ -36,6 +36,10 @@ BASELINE_MPS = (700 * 466 / 1e6) / 2.0  # 700px pair in 2 s (BASELINE.md)
 # by capping (never upscaling) at the default, exactly like the CLI does.
 BENCH_MAX_SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 700
 BENCH_UPSCALE = len(sys.argv) > 1
+# MAX_SIZE-class geometries exceed the remote XLA service's memory when the
+# whole 5-level pipeline is fused into one program (the compiler subprocess
+# is OOM-killed); above the headline geometry, run per-level programs.
+BENCH_STAGED = "staged" in sys.argv[2:] or BENCH_MAX_SIZE > 700
 
 
 def _fit_to_size(img: np.ndarray, size: int) -> np.ndarray:
@@ -79,7 +83,14 @@ def main() -> None:
     stl_d = jax.device_put(stl)
 
     def run():
-        out = transfer_pair_jit(params, cnt_d, stl_d, 2.0, key, config)
+        if BENCH_STAGED:
+            from nct_tpu.pipeline import transfer_pair
+
+            out = transfer_pair(
+                params, cnt_d, stl_d, 2.0, config, key=key, staged=True
+            )
+        else:
+            out = transfer_pair_jit(params, cnt_d, stl_d, 2.0, key, config)
         # block_until_ready is a no-op on relayed backends; a scalar D2H
         # readout is the only reliable completion barrier.
         return float(jnp.sum(out.astype(jnp.float32)))

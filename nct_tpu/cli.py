@@ -22,7 +22,7 @@ import numpy as np
 from nct_tpu import io
 from nct_tpu.config import Config
 from nct_tpu.models import vgg19
-from nct_tpu.pipeline import transfer_pair_jit
+from nct_tpu.pipeline import transfer_pair, transfer_pair_jit
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override MAX_SIZE (longer-side cap, default 1000).")
     p.add_argument("--pairs-limit", type=int, default=None,
                    help="Process only the first N pairs.txt lines.")
+    p.add_argument("--staged", action="store_true",
+                   help="Compile each pyramid level as its own program "
+                        "instead of one fused program (MAX_SIZE-class "
+                        "geometries exceed the XLA service's memory when "
+                        "fused; staged also cuts first-compile latency).")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="Persistent XLA compilation cache dir (default "
                    "$NCT_COMPILE_CACHE or ~/.cache/nct_tpu/xla; 'none' "
@@ -115,10 +120,16 @@ def main(argv: list[str] | None = None) -> int:
         # The per-pair BDS weight rides in as a traced scalar so pairs that
         # differ only in weight (the BDS sweep) share one compiled program.
         start = time.perf_counter()
-        result = transfer_pair_jit(
-            params, cnt, stl, pair.bds_weight,
-            jax.random.PRNGKey(args.seed), config,
-        )
+        if args.staged:
+            result = transfer_pair(
+                params, cnt, stl, pair.bds_weight, config,
+                key=jax.random.PRNGKey(args.seed), staged=True,
+            )
+        else:
+            result = transfer_pair_jit(
+                params, cnt, stl, pair.bds_weight,
+                jax.random.PRNGKey(args.seed), config,
+            )
         result = np.asarray(jax.block_until_ready(result))
         elapsed = time.perf_counter() - start
         print(f"**Finished Time: {elapsed:.3f} sec.")

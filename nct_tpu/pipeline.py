@@ -20,7 +20,6 @@ bucket-and-pad is the batching strategy on top).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any
 
@@ -36,16 +35,6 @@ from nct_tpu.ops.color import bgr_u8_to_lab_u8, unit_lab_to_bgr_u8
 from nct_tpu.solve import cluster, knn, stats
 from nct_tpu.solve.nonlocal_solve import solve_nonlocal
 from nct_tpu.solve.wls import apply_transform, solve_wls
-
-
-@dataclasses.dataclass
-class PipelineState:
-    """Cross-level state (the reference's device buffers, main.cu:114-137)."""
-
-    ann: jnp.ndarray          # [ah, aw, 2] forward NNF at current level dims
-    bnn: jnp.ndarray          # [bh, bw, 2] reverse NNF
-    refined: jnp.ndarray      # [H, W, 3] uint8 BGR current result
-    cnt_feats: dict[str, jnp.ndarray]   # refreshed per level
 
 
 def _on_tpu() -> bool:
@@ -78,51 +67,237 @@ def image_pyramid(
     return out
 
 
-def _feature_list(feats: dict[str, jnp.ndarray], taps) -> list[jnp.ndarray]:
-    return [feats[t] for t in taps]
-
-
-def transfer_pair(
-    params: dict,
-    cnt_bgr_u8,
-    stl_bgr_u8,
-    bds_weight: float,
-    config: Config = Config(),
-    key: jax.Array | None = None,
-    return_intermediates: bool = False,
-    warm_start: dict | None = None,
-    return_state: bool = False,
+def _level_body(
+    params,
+    *,
+    config: Config,
+    l: int,
+    numlayer: int,
+    rs: int,
+    want_trace: bool,
+    bds_weight,
+    key,
+    ann_prev,
+    bnn_prev,
+    cnt_feat_l,
+    prev_ab,
+    stl_feat_l,
+    down_cnt,
+    down_stl,
+    cnt_lab_unit,
+    label_map,
+    membership,
 ):
-    """Run the full progressive transfer for one image pair.
+    """One pyramid level (ref main.cu:179-428 loop body).
 
-    cnt/stl: uint8 BGR arrays (already capped to max_size by the caller).
-    Returns uint8 BGR result at the content's resolution — plus a per-level
-    trace dict when ``return_intermediates`` (the reference's ENABLE_VIS).
+    Pure function of the cross-level carry (NNFs, current level's content
+    features, solved coefficients, PRNG key) and the level's static inputs;
+    traced inline by the fused whole-pipeline program or compiled as its
+    own program in staged mode — identical math either way.
 
-    ``warm_start``: optional {"ann", "bnn"} NNFs at conv5_1 dims (from a
-    previous, same-geometry frame) replacing the scaled-identity level-0
-    init — the video warm-start path (BASELINE config #5; the reference is
-    stateless per pair).  ``return_state``: also return that dict for the
-    next frame.
+    Returns (ann, bnn, refined, cnt_feat_next, prev_ab, key, trace_entry).
     """
-    if key is None:
-        key = jax.random.PRNGKey(7)
+    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
+    ah, aw = down_cnt.shape[0], down_cnt.shape[1]
+    bh, bw = down_stl.shape[0], down_stl.shape[1]
     taps = tuple(config.vgg_layers())
-    numlayer = len(taps)
+    bf16 = config.feature_dtype == "bfloat16"
+    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
 
-    cnt = jnp.asarray(cnt_bgr_u8)
-    stl = jnp.asarray(stl_bgr_u8)
+    # 1-2. correspondence search (ref :229-284).  Coarse levels: exact
+    # streaming-matmul NN (globally optimal for the same metric); fine
+    # levels: PatchMatch seeded by the upsampled previous-level field.
+    fdt = jnp.bfloat16 if bf16 else jnp.float32
+    fc = cnt_feat_l.astype(jnp.float32)
+    fs = stl_feat_l.astype(jnp.float32)
+    fc_n, _ = features.l2_normalize(fc)
+    fs_n, _ = features.l2_normalize(fs)
+    # bf16 halves the HBM traffic of the gather-bound candidate
+    # evaluations; all dot products still accumulate in f32.
+    fc_n = fc_n.astype(fdt)
+    fs_n = fs_n.astype(fdt)
+    use_exact = l < config.exact_nn_levels
+    use_window = (
+        config.fine_strategy == "window" and l > 0 and not use_exact
+    )
+    if use_exact:
+        if _on_tpu():
+            # fused matmul+argmin Pallas kernel (~1.6x the XLA scan)
+            from nct_tpu.ops.pallas_nn import exact_nn_pallas
+
+            ann, _ = exact_nn_pallas(fc_n, fs_n, config.patch_size)
+            bnn, _ = exact_nn_pallas(fs_n, fc_n, config.patch_size)
+        else:
+            ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
+            bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
+    elif use_window:
+        ann0 = nnf.upsample(ann_prev, ah, aw, bh, bw)
+        bnn0 = nnf.upsample(bnn_prev, bh, bw, ah, aw)
+        ann, _ = window_refine.window_refine(
+            fc_n, fs_n, ann0, config.window_radius,
+            config.window_shortlist, config.patch_size,
+        )
+        bnn, _ = window_refine.window_refine(
+            fs_n, fc_n, bnn0, config.window_radius,
+            config.window_shortlist, config.patch_size,
+        )
+    else:
+        if l == 0:
+            if ann_prev is not None:   # video warm start (config #5)
+                ann = jnp.asarray(ann_prev)
+                bnn = jnp.asarray(bnn_prev)
+            else:
+                ann = nnf.init_scaled_identity(ah, aw, bh, bw)
+                bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
+        else:
+            ann = nnf.upsample(ann_prev, ah, aw, bh, bw)
+            bnn = nnf.upsample(bnn_prev, bh, bw, ah, aw)
+        key, k_ab, k_ba = jax.random.split(key, 3)
+        pm_iters = (
+            config.pm_iters_fine
+            if config.exact_nn_levels > 0 else config.pm_iters
+        )
+        ann, _ = patchmatch.patchmatch(
+            fc_n, fs_n, ann, k_ab,
+            iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
+        )
+        bnn, _ = patchmatch.patchmatch(
+            fs_n, fc_n, bnn, k_ba,
+            iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
+        )
+
+    # 3. BDS guidance image + feature vote -> matching error (ref :291-318)
+    guide_bgr = bds.bds_reconstruct_color(
+        down_stl, ann, bnn, 1.0, bds_weight, config.patch_size
+    )
+    voted_feat, _ = bds.bds_vote(
+        fs, ann, bnn, 1.0, bds_weight, config.patch_size
+    )
+    gf_n, _ = features.l2_normalize(voted_feat)
+    bds_err = features.cosine_error(fc_n, gf_n)
+
+    # 4. semantic k-NN graph on down-res Lab (ref :351-359)
+    cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
+    cnt_lab_d = cnt_lab_u8.astype(jnp.float32) / 255.0
+    stride = 2 ** l
+    if config.knn_memberships > 1:
+        pixel_labels = cluster.multi_labels_for_pixels(
+            label_map, membership, ah, aw, stride,
+            config.knn_memberships,
+        )
+    else:
+        pixel_labels = cluster.labels_for_pixels(
+            label_map, ah, aw, stride
+        )
+    member_pix = cluster.membership_for_pixels(membership, ah, aw, stride)
+    key, ckey = jax.random.split(key)
+    m_cand = min(2048, ah * aw)
+    candidates = knn.sample_cluster_candidates(member_pix, ckey, m_cand)
+    nbr_ids, nbr_w, nbr_slots = knn.knn_graph(
+        cnt_lab_d, pixel_labels, candidates, k_num=config.k_num
+    )
+
+    # 5. patch moments -> (a, b) init + confidence (ref :368-378, 1194-1357)
+    guide_lab_u8 = bgr_u8_to_lab_u8(guide_bgr)
+    guide_lab_d = guide_lab_u8.astype(jnp.float32) / 255.0
+    a0, b0 = stats.init_ab(
+        cnt_lab_u8, guide_lab_u8, config.patch_size, config.var_epsilon
+    )
+    confidence = stats.error_confidence(bds_err)
+
+    # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949).
+    # CG start: the previous level's SOLVED coefficients upsampled —
+    # the system is SPD so the solution is x0-independent, but the
+    # warm start converges in far fewer iterations than the
+    # reference's patch-stat init (its Rab, :630-636), which we keep
+    # for level 0.
+    if prev_ab is not None:
+        a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
+        b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
+    norm_factor = float(h * w) / float(ah * aw)
+    if config.nl_precond == "mg":
+        cg_iters = (
+            config.cg_iters_final_mg if l == numlayer - 1
+            else config.cg_iters_mg
+        )
+    else:
+        cg_iters = (
+            config.cg_iters_final if l == numlayer - 1
+            else config.cg_iters
+        )
+    a_d, b_d = solve_nonlocal(
+        a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
+        norm_factor, config.local_weight, config.wls_alpha,
+        config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
+        candidates=candidates, nbr_slots=nbr_slots,
+        precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
+        in_cap=config.nl_in_cap,
+    )
+    prev_ab = (a_d, b_d)
+
+    # 7. upsample coefficients + WLS at full res (ref :1376-1429)
+    a_up = resize.resize_bilinear(a_d, h, w)
+    b_up = resize.resize_bilinear(b_d, h, w)
+    lam = config.wls_lambda_init * norm_factor
+    if (ah, aw) == (h, w):
+        lam = lam * 4.0  # final-level boost (ref :1418-1424)
+    a_f, b_f = solve_wls(
+        a_up, b_up, cnt_lab_unit, lam, config.wls_alpha,
+        iters=config.wls_cg_iters, tol=config.cg_tol,
+        dynamic=config.cg_dynamic,
+    )
+
+    # 8. apply + convert (ref :1436-1477)
+    res_lab = apply_transform(a_f, b_f, cnt_lab_unit)
+    refined = unit_lab_to_bgr_u8(res_lab)
+
+    tr = None
+    if want_trace:
+        tr = {
+            "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
+            "a": a_f, "b": b_f, "bds_err": bds_err,
+            "refined": refined,
+        }
+
+    # 9. progressive feedback (ref main.cu:424-427).  The reference
+    # re-extracts all 5 taps every level but only ever reads tap l+1
+    # from the l-th re-extraction; extracting just that tap turns the
+    # re-extraction cost from 4 full forwards into progressively
+    # SHALLOWER ones (conv1_1 re-extraction is a single conv).
+    cnt_feat_next = None
+    if l < numlayer - 1:
+        cnt_feat_next = vgg19.features_jit(
+            params, refined, (taps[l + 1],), vgg_bf16
+        )[taps[l + 1]]
+    # Barrier the cross-level state: in the fully-fused program XLA's
+    # scheduler may otherwise hoist later levels' large intermediates
+    # (patchified features, pallas operands) to overlap earlier ones,
+    # blowing HBM; nesting lifetimes costs nothing here because the
+    # levels are sequential anyway.
+    ann, bnn, refined, cnt_feat_next, prev_ab = (
+        jax.lax.optimization_barrier(
+            (ann, bnn, refined, cnt_feat_next, prev_ab)
+        )
+    )
+    return ann, bnn, refined, cnt_feat_next, prev_ab, key, tr
+
+
+_level_jit = functools.partial(
+    jax.jit,
+    static_argnames=("config", "l", "numlayer", "rs", "want_trace"),
+)(_level_body)
+
+
+def _setup(params, cnt, stl, key, config: Config, taps):
+    """Pre-loop work: feature extraction, pyramids, Lab, semantic clusters
+    (ref main.cu:94-168).  Shared by the fused and staged execution modes."""
     h, w = cnt.shape[0], cnt.shape[1]
     hs, ws = stl.shape[0], stl.shape[1]
-    max_len = max(h, w, hs, ws)
-    ranges = config.pm_search_radii(max_len)
-
     cnt_dims_map = vgg19.feature_dims(h, w)
     stl_dims_map = vgg19.feature_dims(hs, ws)
     cnt_dims = [cnt_dims_map[t] for t in taps]
     stl_dims = [stl_dims_map[t] for t in taps]
 
-    bf16 = config.feature_dtype == "bfloat16"
     vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
     cnt_feats = vgg19.features_jit(params, cnt, taps, vgg_bf16)
     stl_feats = vgg19.features_jit(params, stl, taps, vgg_bf16)
@@ -145,201 +320,99 @@ def transfer_pair(
     )
     label_map = label_map.reshape(lh, lw)
     membership = cluster.cluster_membership(label_map, config.cluster_num)
-
-    state = PipelineState(
-        ann=None, bnn=None, refined=cnt, cnt_feats=cnt_feats
+    return (
+        cnt_feats, stl_feats, tuple(cnt_pyr), tuple(stl_pyr),
+        cnt_lab_unit, label_map, membership, key,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "taps"))
+def _setup_jit(params, cnt, stl, key, config: Config, taps):
+    return _setup(params, cnt, stl, key, config, taps)
+
+
+def transfer_pair(
+    params: dict,
+    cnt_bgr_u8,
+    stl_bgr_u8,
+    bds_weight: float,
+    config: Config = Config(),
+    key: jax.Array | None = None,
+    return_intermediates: bool = False,
+    warm_start: dict | None = None,
+    return_state: bool = False,
+    staged: bool = False,
+):
+    """Run the full progressive transfer for one image pair.
+
+    cnt/stl: uint8 BGR arrays (already capped to max_size by the caller).
+    Returns uint8 BGR result at the content's resolution — plus a per-level
+    trace dict when ``return_intermediates`` (the reference's ENABLE_VIS).
+
+    ``warm_start``: optional {"ann", "bnn"} NNFs at conv5_1 dims (from a
+    previous, same-geometry frame) replacing the scaled-identity level-0
+    init — the video warm-start path (BASELINE config #5; the reference is
+    stateless per pair).  ``return_state``: also return that dict for the
+    next frame.
+
+    ``staged``: run setup and each pyramid level as its OWN jitted program
+    instead of tracing everything into the caller's single fusion.  The
+    per-level programs are ~5x smaller, which is what the remote XLA
+    service can hold for MAX_SIZE-class geometries (the fused 1000 px
+    program OOM-kills its compiler); arrays stay on device between stages,
+    so the runtime cost is only a handful of dispatches.  Identical math
+    either way — the level body is the same traced code.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    taps = tuple(config.vgg_layers())
+    numlayer = len(taps)
+
+    cnt = jnp.asarray(cnt_bgr_u8)
+    stl = jnp.asarray(stl_bgr_u8)
+    h, w = cnt.shape[0], cnt.shape[1]
+    hs, ws = stl.shape[0], stl.shape[1]
+    max_len = max(h, w, hs, ws)
+    ranges = config.pm_search_radii(max_len)
+
+    cnt_dims_map = vgg19.feature_dims(h, w)
+    stl_dims_map = vgg19.feature_dims(hs, ws)
+    cnt_dims = [cnt_dims_map[t] for t in taps]
+    stl_dims = [stl_dims_map[t] for t in taps]
+
+    bf16 = config.feature_dtype == "bfloat16"
+
+    setup = _setup_jit if staged else _setup
+    (cnt_feats, stl_feats, cnt_pyr, stl_pyr, cnt_lab_unit, label_map,
+     membership, key) = setup(params, cnt, stl, key, config, taps)
+
+    ann = bnn = None
+    if warm_start is not None:
+        ann = jnp.asarray(warm_start["ann"])
+        bnn = jnp.asarray(warm_start["bnn"])
+    refined = cnt
+    cnt_feat_l = cnt_feats[taps[0]]
     trace: list[dict] = []
     prev_ab = None
+    coarse_state = None
 
+    step = _level_jit if staged else _level_body
     for l in range(numlayer):
-        ah, aw = cnt_dims[l]
-        bh, bw = stl_dims[l]
-
-        # 1-2. correspondence search (ref :229-284).  Coarse levels: exact
-        # streaming-matmul NN (globally optimal for the same metric); fine
-        # levels: PatchMatch seeded by the upsampled previous-level field.
-        fdt = jnp.bfloat16 if bf16 else jnp.float32
-        fc = state.cnt_feats[taps[l]].astype(jnp.float32)
-        fs = stl_feats[taps[l]].astype(jnp.float32)
-        fc_n, _ = features.l2_normalize(fc)
-        fs_n, _ = features.l2_normalize(fs)
-        # bf16 halves the HBM traffic of the gather-bound candidate
-        # evaluations; all dot products still accumulate in f32.
-        fc_n = fc_n.astype(fdt)
-        fs_n = fs_n.astype(fdt)
-        use_exact = l < config.exact_nn_levels
-        use_window = (
-            config.fine_strategy == "window" and l > 0 and not use_exact
+        ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = step(
+            params, config=config, l=l, numlayer=numlayer,
+            rs=max(int(ranges[l]), 1), want_trace=return_intermediates,
+            bds_weight=bds_weight, key=key, ann_prev=ann, bnn_prev=bnn,
+            cnt_feat_l=cnt_feat_l, prev_ab=prev_ab,
+            stl_feat_l=stl_feats[taps[l]], down_cnt=cnt_pyr[l],
+            down_stl=stl_pyr[l], cnt_lab_unit=cnt_lab_unit,
+            label_map=label_map, membership=membership,
         )
-        if use_exact:
-            if _on_tpu():
-                # fused matmul+argmin Pallas kernel (~1.6x the XLA scan)
-                from nct_tpu.ops.pallas_nn import exact_nn_pallas
-
-                ann, _ = exact_nn_pallas(fc_n, fs_n, config.patch_size)
-                bnn, _ = exact_nn_pallas(fs_n, fc_n, config.patch_size)
-            else:
-                ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
-                bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
-        elif use_window:
-            ann0 = nnf.upsample(state.ann, ah, aw, bh, bw)
-            bnn0 = nnf.upsample(state.bnn, bh, bw, ah, aw)
-            ann, _ = window_refine.window_refine(
-                fc_n, fs_n, ann0, config.window_radius,
-                config.window_shortlist, config.patch_size,
-            )
-            bnn, _ = window_refine.window_refine(
-                fs_n, fc_n, bnn0, config.window_radius,
-                config.window_shortlist, config.patch_size,
-            )
-        else:
-            if l == 0:
-                if warm_start is not None:
-                    ann = jnp.asarray(warm_start["ann"])
-                    bnn = jnp.asarray(warm_start["bnn"])
-                else:
-                    ann = nnf.init_scaled_identity(ah, aw, bh, bw)
-                    bnn = nnf.init_scaled_identity(bh, bw, ah, aw)
-            else:
-                ann = nnf.upsample(state.ann, ah, aw, bh, bw)
-                bnn = nnf.upsample(state.bnn, bh, bw, ah, aw)
-            key, k_ab, k_ba = jax.random.split(key, 3)
-            rs = max(int(ranges[l]), 1)
-            pm_iters = (
-                config.pm_iters_fine
-                if config.exact_nn_levels > 0 else config.pm_iters
-            )
-            ann, _ = patchmatch.patchmatch(
-                fc_n, fs_n, ann, k_ab,
-                iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
-            )
-            bnn, _ = patchmatch.patchmatch(
-                fs_n, fc_n, bnn, k_ba,
-                iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
-            )
         if l == 0:
             coarse_state = {"ann": ann, "bnn": bnn}
-
-        # 3. BDS guidance image + feature vote -> matching error (ref :291-318)
-        down_cnt = cnt_pyr[l]
-        down_stl = stl_pyr[l]
-        guide_bgr = bds.bds_reconstruct_color(
-            down_stl, ann, bnn, 1.0, bds_weight, config.patch_size
-        )
-        voted_feat, _ = bds.bds_vote(
-            fs, ann, bnn, 1.0, bds_weight, config.patch_size
-        )
-        gf_n, _ = features.l2_normalize(voted_feat)
-        bds_err = features.cosine_error(fc_n, gf_n)
-
-        # 4. semantic k-NN graph on down-res Lab (ref :351-359)
-        cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
-        cnt_lab_d = cnt_lab_u8.astype(jnp.float32) / 255.0
-        stride = 2 ** l
-        if config.knn_memberships > 1:
-            pixel_labels = cluster.multi_labels_for_pixels(
-                label_map, membership, ah, aw, stride,
-                config.knn_memberships,
-            )
-        else:
-            pixel_labels = cluster.labels_for_pixels(
-                label_map, ah, aw, stride
-            )
-        member_pix = cluster.membership_for_pixels(membership, ah, aw, stride)
-        key, ckey = jax.random.split(key)
-        m_cand = min(2048, ah * aw)
-        candidates = knn.sample_cluster_candidates(member_pix, ckey, m_cand)
-        nbr_ids, nbr_w, nbr_slots = knn.knn_graph(
-            cnt_lab_d, pixel_labels, candidates, k_num=config.k_num
-        )
-
-        # 5. patch moments -> (a, b) init + confidence (ref :368-378, 1194-1357)
-        guide_lab_u8 = bgr_u8_to_lab_u8(guide_bgr)
-        guide_lab_d = guide_lab_u8.astype(jnp.float32) / 255.0
-        a0, b0 = stats.init_ab(
-            cnt_lab_u8, guide_lab_u8, config.patch_size, config.var_epsilon
-        )
-        confidence = stats.error_confidence(bds_err)
-
-        # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949).
-        # CG start: the previous level's SOLVED coefficients upsampled —
-        # the system is SPD so the solution is x0-independent, but the
-        # warm start converges in far fewer iterations than the
-        # reference's patch-stat init (its Rab, :630-636), which we keep
-        # for level 0.
-        if prev_ab is not None:
-            a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
-            b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
-        norm_factor = float(h * w) / float(ah * aw)
-        if config.nl_precond == "mg":
-            cg_iters = (
-                config.cg_iters_final_mg if l == numlayer - 1
-                else config.cg_iters_mg
-            )
-        else:
-            cg_iters = (
-                config.cg_iters_final if l == numlayer - 1
-                else config.cg_iters
-            )
-        a_d, b_d = solve_nonlocal(
-            a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
-            norm_factor, config.local_weight, config.wls_alpha,
-            config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
-            candidates=candidates, nbr_slots=nbr_slots,
-            precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
-            in_cap=config.nl_in_cap,
-        )
-        prev_ab = (a_d, b_d)
-
-        # 7. upsample coefficients + WLS at full res (ref :1376-1429)
-        a_up = resize.resize_bilinear(a_d, h, w)
-        b_up = resize.resize_bilinear(b_d, h, w)
-        lam = config.wls_lambda_init * norm_factor
-        if (ah, aw) == (h, w):
-            lam = lam * 4.0  # final-level boost (ref :1418-1424)
-        a_f, b_f = solve_wls(
-            a_up, b_up, cnt_lab_unit, lam, config.wls_alpha,
-            iters=config.wls_cg_iters, tol=config.cg_tol,
-            dynamic=config.cg_dynamic,
-        )
-
-        # 8. apply + convert (ref :1436-1477)
-        res_lab = apply_transform(a_f, b_f, cnt_lab_unit)
-        refined = unit_lab_to_bgr_u8(res_lab)
-
         if return_intermediates:
-            trace.append({
-                "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
-                "a": a_f, "b": b_f, "bds_err": bds_err,
-                "refined": refined,
-            })
+            trace.append(tr)
 
-        # 9. progressive feedback (ref main.cu:424-427).  The reference
-        # re-extracts all 5 taps every level but only ever reads tap l+1
-        # from the l-th re-extraction; extracting just that tap turns the
-        # re-extraction cost from 4 full forwards into progressively
-        # SHALLOWER ones (conv1_1 re-extraction is a single conv).
-        cnt_feats_next = state.cnt_feats
-        if l < numlayer - 1:
-            cnt_feats_next = vgg19.features_jit(
-                params, refined, (taps[l + 1],), vgg_bf16
-            )
-        # Barrier the cross-level state: in the fully-fused program XLA's
-        # scheduler may otherwise hoist later levels' large intermediates
-        # (patchified features, pallas operands) to overlap earlier ones,
-        # blowing HBM; nesting lifetimes costs nothing here because the
-        # levels are sequential anyway.
-        ann, bnn, refined, cnt_feats_next, prev_ab = (
-            jax.lax.optimization_barrier(
-                (ann, bnn, refined, cnt_feats_next, prev_ab)
-            )
-        )
-        state = PipelineState(
-            ann=ann, bnn=bnn, refined=refined, cnt_feats=cnt_feats_next
-        )
-
-    outs = [state.refined]
+    outs = [refined]
     if return_intermediates:
         outs.append(trace)
     if return_state:
