@@ -103,6 +103,24 @@ class Config:
     # at ~P x the graph-build cost (build-time only, not per CG iteration).
     knn_memberships: int = 1
 
+    @classmethod
+    def reference_parity(cls, **overrides) -> "Config":
+        """The reference-shaped configuration: PatchMatch at every level
+        with the reference's 10 iterations (main.cu:64-68), unhalved CG
+        budgets and the tight 1e-6 tolerance (ColorTransfer.cpp:916-921).
+        Used for apples-to-apples regression against the golden outputs
+        once pretrained weights exist; the TPU-optimized default search
+        (exact NN + window refine, mg preconditioner) is compared against
+        this in tools/compare_strategies.py and PERFORMANCE.md."""
+        base = dict(
+            exact_nn_levels=0, fine_strategy="patchmatch",
+            pm_iters=10, pm_iters_fine=10, nl_precond="block_jacobi",
+            cg_iters=100, cg_iters_final=50, wls_cg_iters=400,
+            cg_tol=1e-6,
+        )
+        base.update(overrides)
+        return cls(**base)
+
     def pm_search_radii(self, max_len: int) -> list[int]:
         """Per-level random-search radii (ref main.cu:77-83)."""
         return [max_len // 16, max_len // 32, max_len // 64, 32, 32]

@@ -57,11 +57,7 @@ CONFIGS = {
     ),
     # full reference-shaped search + solver budgets (PatchMatch everywhere,
     # 10 iters, unhalved CG budgets, tight tolerance)
-    "parity": dataclasses.replace(
-        Config(), exact_nn_levels=0, fine_strategy="patchmatch",
-        pm_iters=10, pm_iters_fine=10, nl_precond="block_jacobi",
-        cg_iters=100, cg_iters_final=50, wls_cg_iters=400, cg_tol=1e-6,
-    ),
+    "parity": Config.reference_parity(),
 }
 
 
