@@ -21,7 +21,9 @@ from nct_tpu.config import Config
 from nct_tpu.pipeline import transfer_pair
 
 
-def make_batch_transfer(config: Config, mesh: Mesh | None = None):
+def make_batch_transfer(
+    config: Config, mesh: Mesh | None = None, mode: str = "auto"
+):
     """Build a jitted batched transfer fn.
 
     Returns fn(params, cnt_batch [B,H,W,3] u8, stl_batch [B,Hs,Ws,3] u8,
@@ -29,7 +31,36 @@ def make_batch_transfer(config: Config, mesh: Mesh | None = None):
     bucket-level constant (it is baked into vote weights; per-pair weights
     would need one bucket per distinct value, as the reference effectively
     recompiles nothing but also fixes it per run).
+
+    ``mode``:
+      * ``"scan"`` — ONE program that runs the single-pair body
+        sequentially over the bucket (``lax.map``).  One dispatch amortizes
+        the per-call host/relay overhead across the bucket, the per-pair
+        trace is the fast fused one (early-exit while-loop CG included —
+        scan bodies are sequential, so dynamic trip counts cost nothing),
+        and intermediates are freed between pairs.  The single-chip
+        serving winner: the vmapped program measured ~4x slower per pair
+        (fixed-trip CG + batched-gather lowerings, see PERFORMANCE.md).
+      * ``"vmap"`` — element-parallel program whose batch axis can shard
+        over a mesh; required for space sharding and multi-chip buckets.
+      * ``"auto"`` — scan without a mesh, vmap with one.
     """
+    if mode == "auto":
+        mode = "scan" if mesh is None else "vmap"
+
+    if mode == "scan":
+        assert mesh is None, "scan mode is single-device; use vmap + mesh"
+
+        def scan_step(params, cnt_b, stl_b, keys, bds_weight):
+            return jax.lax.map(
+                lambda args: transfer_pair(
+                    params, args[0], args[1], bds_weight, config,
+                    key=args[2],
+                ),
+                (cnt_b, stl_b, keys),
+            )
+
+        return jax.jit(scan_step, static_argnums=(4,))
 
     # vmapping a lax.while_loop serializes the whole batch on its slowest
     # element at every step; fixed-trip scan CG keeps the batch in lockstep

