@@ -64,15 +64,24 @@ def _nn_kernel(fa_ref, ma_ref, fb_ref, mb_ref, d_ref, i_ref):
     i_ref[:] = jnp.where(better, idx, i_ref[:])
 
 
-def _pick_tile(kc: int) -> int:
-    """Largest power-of-two tile keeping double-buffered A+B operand
-    blocks (2 * 2 tiles * kc * 2B) within ~10 MB of the 16 MB VMEM."""
+def _pick_tiles(kc: int) -> tuple[int, int]:
+    """(a_tile, b_tile): double-buffered operand blocks within ~10 MB of
+    the 16 MB VMEM.  Asymmetric on purpose — the A block stays resident
+    across the whole B sweep while every A tile re-reads ALL of B from
+    HBM, so B traffic scales with ceil(NA / a_tile): grow the resident
+    side as far as VMEM allows and keep the streamed side moderate.
+    At conv2_1 (kc=1152) this picks (1024, 512) instead of (512, 512),
+    halving the dominant HBM term."""
     budget = 10 * 2 ** 20
     t = budget // (8 * kc * 2)
-    size = 256
-    while size * 2 <= min(t, 2048):
-        size *= 2
-    return size
+    b_tile = 256
+    while b_tile * 2 <= min(t, 512):
+        b_tile *= 2
+    a_tile = 256
+    # (a + b) blocks, 2 bytes, double-buffered
+    while (a_tile * 2 + b_tile) * kc * 2 * 2 <= budget and a_tile < 2048:
+        a_tile *= 2
+    return a_tile, b_tile
 
 
 @functools.partial(
@@ -98,10 +107,11 @@ def exact_nn_pallas(
     pb, pbm = patchify(b_norm.astype(jnp.float32), patch_size)
     k, c = pa.shape[2], pa.shape[3]
     kc = k * c
+    auto_a, auto_b = _pick_tiles(kc)
     if a_tile is None:
-        a_tile = _pick_tile(kc)
+        a_tile = auto_a
     if b_tile is None:
-        b_tile = _pick_tile(kc)
+        b_tile = auto_b
 
     na_pad = _round_up(na, a_tile)
     nb_pad = _round_up(nb, b_tile)

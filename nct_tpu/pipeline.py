@@ -67,42 +67,25 @@ def image_pyramid(
     return out
 
 
-def _level_body(
+def _level_match(
     params,
     *,
     config: Config,
     l: int,
-    numlayer: int,
     rs: int,
-    want_trace: bool,
     bds_weight,
     key,
     ann_prev,
     bnn_prev,
     cnt_feat_l,
-    prev_ab,
     stl_feat_l,
-    down_cnt,
     down_stl,
-    cnt_lab_unit,
-    label_map,
-    membership,
 ):
-    """One pyramid level (ref main.cu:179-428 loop body).
-
-    Pure function of the cross-level carry (NNFs, current level's content
-    features, solved coefficients, PRNG key) and the level's static inputs;
-    traced inline by the fused whole-pipeline program or compiled as its
-    own program in staged mode — identical math either way.
-
-    Returns (ann, bnn, refined, cnt_feat_next, prev_ab, key, trace_entry).
-    """
-    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
-    ah, aw = down_cnt.shape[0], down_cnt.shape[1]
+    """Steps 1-3 of a pyramid level: correspondence search + BDS guidance
+    (ref main.cu:229-318).  Returns (ann, bnn, guide_bgr, bds_err, key)."""
+    ah, aw = cnt_feat_l.shape[0], cnt_feat_l.shape[1]
     bh, bw = down_stl.shape[0], down_stl.shape[1]
-    taps = tuple(config.vgg_layers())
     bf16 = config.feature_dtype == "bfloat16"
-    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
 
     # 1-2. correspondence search (ref :229-284).  Coarse levels: exact
     # streaming-matmul NN (globally optimal for the same metric); fine
@@ -175,6 +158,34 @@ def _level_body(
     )
     gf_n, _ = features.l2_normalize(voted_feat)
     bds_err = features.cosine_error(fc_n, gf_n)
+    return ann, bnn, guide_bgr, bds_err, key
+
+
+def _level_solve(
+    params,
+    *,
+    config: Config,
+    l: int,
+    numlayer: int,
+    want_trace: bool,
+    key,
+    ann,
+    bnn,
+    guide_bgr,
+    bds_err,
+    prev_ab,
+    down_cnt,
+    cnt_lab_unit,
+    label_map,
+    membership,
+):
+    """Steps 4-9 of a pyramid level: k-NN graph, patch moments, nonlocal +
+    WLS solves, apply, progressive feature re-extraction (ref main.cu
+    :351-428).  Returns the level's carry tuple."""
+    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
+    ah, aw = down_cnt.shape[0], down_cnt.shape[1]
+    taps = tuple(config.vgg_layers())
+    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
 
     # 4. semantic k-NN graph on down-res Lab (ref :351-359)
     cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
@@ -282,10 +293,70 @@ def _level_body(
     return ann, bnn, refined, cnt_feat_next, prev_ab, key, tr
 
 
+def _level_body(
+    params,
+    *,
+    config: Config,
+    l: int,
+    numlayer: int,
+    rs: int,
+    want_trace: bool,
+    bds_weight,
+    key,
+    ann_prev,
+    bnn_prev,
+    cnt_feat_l,
+    prev_ab,
+    stl_feat_l,
+    down_cnt,
+    down_stl,
+    cnt_lab_unit,
+    label_map,
+    membership,
+):
+    """One pyramid level (ref main.cu:179-428 loop body) = match + solve.
+
+    Pure function of the cross-level carry (NNFs, current level's content
+    features, solved coefficients, PRNG key) and the level's static inputs;
+    traced inline by the fused whole-pipeline program, compiled as its own
+    program in staged mode, or as TWO programs (match / solve halves) for
+    geometries whose single-level program still exceeds the compile
+    service's memory — identical math in every mode.
+
+    Returns (ann, bnn, refined, cnt_feat_next, prev_ab, key, trace_entry).
+    """
+    ann, bnn, guide_bgr, bds_err, key = _level_match(
+        params, config=config, l=l, rs=rs, bds_weight=bds_weight, key=key,
+        ann_prev=ann_prev, bnn_prev=bnn_prev, cnt_feat_l=cnt_feat_l,
+        stl_feat_l=stl_feat_l, down_stl=down_stl,
+    )
+    return _level_solve(
+        params, config=config, l=l, numlayer=numlayer,
+        want_trace=want_trace, key=key, ann=ann, bnn=bnn,
+        guide_bgr=guide_bgr, bds_err=bds_err, prev_ab=prev_ab,
+        down_cnt=down_cnt, cnt_lab_unit=cnt_lab_unit, label_map=label_map,
+        membership=membership,
+    )
+
+
 _level_jit = functools.partial(
     jax.jit,
     static_argnames=("config", "l", "numlayer", "rs", "want_trace"),
 )(_level_body)
+
+_level_match_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l", "rs")
+)(_level_match)
+
+_level_solve_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l", "numlayer", "want_trace")
+)(_level_solve)
+
+# Above this many content pixels at a level, staged mode compiles the
+# match and solve halves as separate programs: the remote XLA service is
+# OOM-killed even by one full level of the 1000 px geometry (~665k px),
+# while the 680x452 headline level (~307k px) compiles fused.
+_STAGE_SPLIT_PIXELS = 450_000
 
 
 def _setup(params, cnt, stl, key, config: Config, taps):
@@ -398,15 +469,37 @@ def transfer_pair(
 
     step = _level_jit if staged else _level_body
     for l in range(numlayer):
-        ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = step(
-            params, config=config, l=l, numlayer=numlayer,
-            rs=max(int(ranges[l]), 1), want_trace=return_intermediates,
-            bds_weight=bds_weight, key=key, ann_prev=ann, bnn_prev=bnn,
-            cnt_feat_l=cnt_feat_l, prev_ab=prev_ab,
-            stl_feat_l=stl_feats[taps[l]], down_cnt=cnt_pyr[l],
-            down_stl=stl_pyr[l], cnt_lab_unit=cnt_lab_unit,
-            label_map=label_map, membership=membership,
-        )
+        ah, aw = cnt_dims[l]
+        if staged and ah * aw > _STAGE_SPLIT_PIXELS:
+            # MAX_SIZE-class level: even one level's program OOMs the
+            # compile service — run the match and solve halves as two
+            # programs (same math; _level_body is exactly this pair).
+            ann, bnn, guide_bgr, bds_err, key = _level_match_jit(
+                params, config=config, l=l, rs=max(int(ranges[l]), 1),
+                bds_weight=bds_weight, key=key, ann_prev=ann, bnn_prev=bnn,
+                cnt_feat_l=cnt_feat_l, stl_feat_l=stl_feats[taps[l]],
+                down_stl=stl_pyr[l],
+            )
+            ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = (
+                _level_solve_jit(
+                    params, config=config, l=l, numlayer=numlayer,
+                    want_trace=return_intermediates, key=key, ann=ann,
+                    bnn=bnn, guide_bgr=guide_bgr, bds_err=bds_err,
+                    prev_ab=prev_ab, down_cnt=cnt_pyr[l],
+                    cnt_lab_unit=cnt_lab_unit, label_map=label_map,
+                    membership=membership,
+                )
+            )
+        else:
+            ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = step(
+                params, config=config, l=l, numlayer=numlayer,
+                rs=max(int(ranges[l]), 1), want_trace=return_intermediates,
+                bds_weight=bds_weight, key=key, ann_prev=ann, bnn_prev=bnn,
+                cnt_feat_l=cnt_feat_l, prev_ab=prev_ab,
+                stl_feat_l=stl_feats[taps[l]], down_cnt=cnt_pyr[l],
+                down_stl=stl_pyr[l], cnt_lab_unit=cnt_lab_unit,
+                label_map=label_map, membership=membership,
+            )
         if l == 0:
             coarse_state = {"ann": ann, "bnn": bnn}
         if return_intermediates:

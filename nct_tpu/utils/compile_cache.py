@@ -30,6 +30,19 @@ def enable(path: str | None = None) -> str | None:
         path = os.environ.get("NCT_COMPILE_CACHE", DEFAULT_DIR)
     if path.lower() == "none":
         return None
+    # XLA:CPU AOT (de)serialization is unreliable in this jaxlib: reading
+    # back an entry can abort the process outright ("Fatal Python error"
+    # in get_executable_and_time; the cpu_aot_loader machine-feature
+    # mismatch warnings are the smoke), and serializing multi-device CPU
+    # executables segfaults (put_executable_and_time).  The cache's value
+    # is the minutes-long REMOTE TPU compiles, so keep it off for CPU
+    # backends unless explicitly forced (NCT_COMPILE_CACHE_CPU=1).
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        backend = "unknown"
+    if backend == "cpu" and os.environ.get("NCT_COMPILE_CACHE_CPU") != "1":
+        return None
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -10,9 +10,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel LLVM codegen has segfaulted flakily under the
+    # suite's cumulative compile load (SIGSEGV inside
+    # backend_compile_and_load after ~50 tests, three different tests);
+    # the box is single-core, so serializing codegen costs nothing.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize imports jax before conftest runs, so the env var
 # alone cannot win; force the platform through the live config too.
@@ -20,8 +25,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: pipeline-scale tests recompile identical
-# programs across runs otherwise (minutes each).
+# Persistent compilation cache: a no-op on the CPU backend these tests
+# force — XLA:CPU AOT deserialization can abort the process (see
+# utils/compile_cache.py) — but kept so a TPU-backed test invocation
+# would still get cached remote compiles.
 from nct_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
 
 _enable_cache()

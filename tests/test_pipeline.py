@@ -108,6 +108,9 @@ def test_staged_matches_fused(tiny_setup):
     import dataclasses
 
     params, cnt, stl, config = tiny_setup
+    # Full 5-level depth: truncated pyramids end on a high-channel level
+    # whose near-tie argmin matches flip between program partitionings,
+    # blowing the tolerance; the full pyramid's finest levels are stable.
     config = dataclasses.replace(config, feature_dtype="float32")
     key = jax.random.PRNGKey(0)
     fused = np.asarray(
