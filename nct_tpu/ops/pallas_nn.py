@@ -65,23 +65,22 @@ def _nn_kernel(fa_ref, ma_ref, fb_ref, mb_ref, d_ref, i_ref):
 
 
 def _pick_tiles(kc: int) -> tuple[int, int]:
-    """(a_tile, b_tile): double-buffered operand blocks within ~10 MB of
-    the 16 MB VMEM.  Asymmetric on purpose — the A block stays resident
-    across the whole B sweep while every A tile re-reads ALL of B from
-    HBM, so B traffic scales with ceil(NA / a_tile): grow the resident
-    side as far as VMEM allows and keep the streamed side moderate.
-    At conv2_1 (kc=1152) this picks (1024, 512) instead of (512, 512),
-    halving the dominant HBM term."""
+    """(a_tile, b_tile): largest power-of-two square tiles keeping
+    double-buffered A+B operand blocks (2 * 2 tiles * kc * 2B) within
+    ~10 MB of the 16 MB VMEM.
+
+    An asymmetric variant (resident A grown to 1024/2048, streamed B
+    capped at 512 — the "B traffic scales with ceil(NA/a_tile)" theory)
+    was tried and MEASURED SLOWER end-to-end on the v5e (1.61 s vs
+    1.21 s for the 680x452 headline pair): near-VMEM-limit blocks defeat
+    Mosaic's pipelining long before the HBM-traffic saving shows up.
+    Keep tiles square and modest."""
     budget = 10 * 2 ** 20
     t = budget // (8 * kc * 2)
-    b_tile = 256
-    while b_tile * 2 <= min(t, 512):
-        b_tile *= 2
-    a_tile = 256
-    # (a + b) blocks, 2 bytes, double-buffered
-    while (a_tile * 2 + b_tile) * kc * 2 * 2 <= budget and a_tile < 2048:
-        a_tile *= 2
-    return a_tile, b_tile
+    size = 256
+    while size * 2 <= min(t, 2048):
+        size *= 2
+    return size, size
 
 
 @functools.partial(

@@ -21,6 +21,8 @@ bucket-and-pad is the batching strategy on top).
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Any
 
 import jax
@@ -468,7 +470,15 @@ def transfer_pair(
     coarse_state = None
 
     step = _level_jit if staged else _level_body
+    # NCT_STAGED_VERBOSE=1: per-level (and per-half in split mode)
+    # wall-time prints with a hard device barrier — the remote compile
+    # service gives no progress signal, so this is the only way to see
+    # WHICH program a MAX_SIZE run is stuck compiling.
+    verbose = staged and bool(os.environ.get("NCT_STAGED_VERBOSE"))
+    if verbose:
+        from nct_tpu.utils.profiling import device_sync as _sync
     for l in range(numlayer):
+        t_l = time.perf_counter() if verbose else 0.0
         ah, aw = cnt_dims[l]
         if staged and ah * aw > _STAGE_SPLIT_PIXELS:
             # MAX_SIZE-class level: even one level's program OOMs the
@@ -480,6 +490,11 @@ def transfer_pair(
                 cnt_feat_l=cnt_feat_l, stl_feat_l=stl_feats[taps[l]],
                 down_stl=stl_pyr[l],
             )
+            if verbose:
+                _sync(ann)
+                print(f"[staged] L{l} match {time.perf_counter() - t_l:.1f}s",
+                      flush=True)
+                t_l = time.perf_counter()
             ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = (
                 _level_solve_jit(
                     params, config=config, l=l, numlayer=numlayer,
@@ -500,6 +515,10 @@ def transfer_pair(
                 down_stl=stl_pyr[l], cnt_lab_unit=cnt_lab_unit,
                 label_map=label_map, membership=membership,
             )
+        if verbose:
+            _sync(refined)
+            print(f"[staged] L{l} done {time.perf_counter() - t_l:.1f}s",
+                  flush=True)
         if l == 0:
             coarse_state = {"ann": ann, "bnn": bnn}
         if return_intermediates:
