@@ -9,11 +9,15 @@ around the upsampled match:
 
   1. CENTER stage: distance of the centre feature only,
      d_w(p) = -<A[p], B[nnf0(p)+w]>, for every shift |w|_inf <= radius.
-     All shifts address B at fixed offsets from the same base nnf0(p), so
-     chunks of pre-rolled, channel-concatenated copies of B reduce the
-     whole window to ~8 gathers of Ha*Wa rows (gather cost on TPU scales
-     with ROW count, not bytes — one [N]-row gather of sc*C lanes beats
-     sc [N]-row gathers);
+     All shifts address B at fixed offsets from the same base nnf0(p);
+     the dense window factorizes as (dy row) x (dx column), so ONE
+     x-rolled channel-concatenated copy of B (the "strip table",
+     [Nb, (2r+1)*C]) turns each of the 2r+1 dy rows into a single
+     Ha*Wa-row gather whose lanes hold the whole dx row of the window —
+     (2r+1)^2+rings evals in 2r+1 wide + #rings narrow gathers.  (The
+     round-2 per-chunk full pre-roll built (2r+1)^2+16 rolled copies:
+     ~10x the build traffic of the strip table for the same gather
+     count; measured 1.3x slower end-to-end at conv1_1 shapes.);
   2. PATCH-APPROX stage: the exact patch metric of candidate nnf0(p)+w is
      sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled field is
      locally translation-consistent (offset-preserving upsample => almost
@@ -40,7 +44,7 @@ from nct_tpu.ops.patchmatch import patchify
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "shortlist", "patch_size", "shift_chunk"),
+    static_argnames=("radius", "shortlist", "patch_size"),
 )
 def window_refine(
     a_norm: jnp.ndarray,
@@ -49,7 +53,6 @@ def window_refine(
     radius: int = 4,
     shortlist: int = 8,
     patch_size: int = 3,
-    shift_chunk: int = 16,
 ):
     """Refine nnf0 (a->b) within a +-radius window.
 
@@ -67,11 +70,8 @@ def window_refine(
     # finest level (main.cu:77-83); the rings restore that reach for
     # pixels whose upsampled seed is off, at ~20% more centre evals.
     # Never regresses: stage 2 rescoring keeps the incumbent.
-    dense = [
-        (dx, dy)
-        for dy in range(-radius, radius + 1)
-        for dx in range(-radius, radius + 1)
-    ]
+    dxs = list(range(-radius, radius + 1))
+    dense = [(dx, dy) for dy in dxs for dx in dxs]
     rings = [
         (r * sx, r * sy)
         for r in (2 * radius, 4 * radius)
@@ -81,40 +81,50 @@ def window_refine(
     shift_list = dense + rings
     shifts = jnp.asarray(shift_list, dtype=jnp.int32)       # [S2, 2]
     n_shifts = len(shift_list)
+    nd = len(dxs)
 
     bx0 = nnf0[..., 0]
     by0 = nnf0[..., 1]
 
     # ---- stage 1: centre-feature distances for every shift.  Every shift
     # addresses B at a fixed offset from the SAME base coordinate nnf0(p),
-    # and gather cost on TPU scales with gathered row count — so instead of
-    # one [sc*Ha*Wa]-row gather per chunk, each chunk pre-rolls B by its
-    # shifts, concatenates along channels, and gathers ONCE at the base
-    # NNF ([Ha*Wa] rows).  Off-image shifts are masked to +inf (the
-    # reference's random search simply never proposes them); the (0,0)
-    # shift is always valid, and stage 2 keeps the incumbent regardless.
+    # and the dense window factorizes by rows: ONE x-rolled strip table
+    # ([Nb, nd*C] — column dx lives in the lane axis) turns each dy row of
+    # the window into a single [Ha*Wa]-row wide gather (raw gathers cost
+    # ~5 ms at these shapes regardless of lane width; building rolled
+    # copies per SHIFT instead of per COLUMN was 10x the HBM build
+    # traffic).  The per-row results transpose to shift-LEADING
+    # [S2, Ha, Wa] for the box-sum/argmin stages — reduce_window and
+    # argmin over a 97-wide trailing lane axis measured ~50 ms slower
+    # than over the spatial minor dims (lane padding 97->128 taxes every
+    # pass).  Off-image shifts are masked to +inf (the reference's
+    # random search simply never proposes them); the (0,0) shift is
+    # always valid, and stage 2 keeps the incumbent regardless.
     idx0 = by0 * wb + bx0                                   # in-bounds
-    d_chunks = []
-    for s0 in range(0, n_shifts, shift_chunk):
-        chunk = shift_list[s0:s0 + shift_chunk]
-        sc = len(chunk)
-        cat = jnp.concatenate(
-            [jnp.roll(b16, shift=(-dy, -dx), axis=(0, 1))
-             for dx, dy in chunk],
-            axis=-1,
-        ).reshape(nb, sc * c)
-        g = cat[idx0].reshape(ha, wa, sc, c)                # [Ha, Wa, sc, C]
-        d = -jnp.einsum(
-            "hwc,hwsc->shw", a32, g, preferred_element_type=jnp.float32
-        )
-        for i, (dx, dy) in enumerate(chunk):
-            valid = (
-                (bx0 + dx >= 0) & (bx0 + dx < wb)
-                & (by0 + dy >= 0) & (by0 + dy < hb)
-            )
-            d = d.at[i].set(jnp.where(valid, d[i], jnp.inf))
-        d_chunks.append(d)
-    d_center = jnp.concatenate(d_chunks, axis=0)            # [S2, Ha, Wa]
+    strip = jnp.concatenate(
+        [jnp.roll(b16, shift=-dx, axis=1) for dx in dxs], axis=-1
+    ).reshape(nb, nd * c)
+    d_rows = []
+    for dy in dxs:
+        idx = jnp.clip(idx0 + dy * wb, 0, nb - 1)
+        g = strip[idx.reshape(-1)].reshape(ha, wa, nd, c)
+        d = -jnp.sum(a32[:, :, None, :] * g, axis=-1, dtype=jnp.float32)
+        d_rows.append(jnp.moveaxis(d, -1, 0))               # [nd, Ha, Wa]
+    ring_idx = jnp.stack(
+        [jnp.clip(idx0 + dy * wb + dx, 0, nb - 1) for dx, dy in rings]
+    )                                                       # [R, Ha, Wa]
+    gr = b16.reshape(nb, c)[ring_idx]                       # [R, Ha, Wa, C]
+    d_rows.append(
+        -jnp.sum(a32[None] * gr, axis=-1, dtype=jnp.float32)
+    )
+    d_center = jnp.concatenate(d_rows, axis=0)              # [S2, Ha, Wa]
+    sdx = shifts[:, 0][:, None, None]
+    sdy = shifts[:, 1][:, None, None]
+    valid = (
+        (bx0[None] + sdx >= 0) & (bx0[None] + sdx < wb)
+        & (by0[None] + sdy >= 0) & (by0[None] + sdy < hb)
+    )
+    d_center = jnp.where(valid, d_center, jnp.inf)
 
     # ---- patch-approximate scores: the exact patch metric of candidate
     # nnf0(p)+w is sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled
