@@ -107,11 +107,14 @@ def _level_match(
     )
     if use_exact:
         if _on_tpu():
-            # fused matmul+argmin Pallas kernel (~1.6x the XLA scan)
-            from nct_tpu.ops.pallas_nn import exact_nn_pallas
+            # fused matmul+argmin Pallas kernel (~1.6x the XLA scan);
+            # the distance matrix is symmetric, so ONE sweep folds both
+            # the row argmin (ann) and the column argmin (bnn) — half
+            # the matmul FLOPs and HBM streaming of two directed calls
+            from nct_tpu.ops.pallas_nn import exact_nn_pallas_bidir
 
-            ann, _ = exact_nn_pallas(fc_n, fs_n, config.patch_size)
-            bnn, _ = exact_nn_pallas(fs_n, fc_n, config.patch_size)
+            ann, _, bnn, _ = exact_nn_pallas_bidir(
+                fc_n, fs_n, config.patch_size)
         else:
             ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
             bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)

@@ -95,10 +95,17 @@ def main():
                 lambda a, b: exact_mod.exact_nn(a, b, 3)[0],
                 fa_n, fb_n,
             )
-            from nct_tpu.ops.pallas_nn import exact_nn_pallas
+            from nct_tpu.ops.pallas_nn import (
+                exact_nn_pallas, exact_nn_pallas_bidir,
+            )
             ann = timed(
                 f"pallas_nn_L{lvl}",
                 lambda a, b: exact_nn_pallas(a, b, 3)[0],
+                fa_n, fb_n,
+            )
+            timed(
+                f"pallas_nn_bidir_L{lvl} (both directions)",
+                lambda a, b: exact_nn_pallas_bidir(a, b, 3)[0],
                 fa_n, fb_n,
             )
             if lvl == 3:
