@@ -41,6 +41,22 @@ def _pool_out(n: int, k: int, s: int, p: int) -> int:
     return max(-(-(n + 2 * p - k) // s) + 1, 1)
 
 
+def _nhwc_axis(axis, ndim: int) -> int:
+    """Map a Caffe (NCHW-semantics) axis index onto our NHWC blobs.
+
+    Prototxt axis fields count N,C,H,W (blob.hpp CanonicalAxisIndex);
+    this framework stores 4-D blobs NHWC, so an explicit ``axis: 1``
+    (channels) must land on the trailing axis.  Non-4-D blobs have no
+    layout difference and pass through (negative axes canonicalized).
+    """
+    axis = int(axis)
+    if axis < 0:
+        axis += ndim
+    if ndim == 4:
+        return {0: 0, 1: 3, 2: 1, 3: 2}[axis]
+    return axis
+
+
 @register_layer("Convolution")
 def conv_layer(params, cfg, x):
     cp = cfg.get("convolution_param", {})
@@ -132,8 +148,8 @@ def pooling_layer(params, cfg, x):
 
 @register_layer("Softmax")
 def softmax_layer(params, cfg, x):
-    axis = cfg.get("softmax_param", {}).get("axis", -1)
-    return jax.nn.softmax(x, axis=axis)
+    axis = cfg.get("softmax_param", {}).get("axis", 1)
+    return jax.nn.softmax(x, axis=_nhwc_axis(axis, x.ndim))
 
 
 @register_layer("Dropout")
@@ -161,8 +177,8 @@ def lrn_layer(params, cfg, x):
 
 @register_layer("Concat")
 def concat_layer(params, cfg, *xs):
-    axis = cfg.get("concat_param", {}).get("axis", -1)
-    return jnp.concatenate(xs, axis=axis)
+    axis = cfg.get("concat_param", {}).get("axis", 1)
+    return jnp.concatenate(xs, axis=_nhwc_axis(axis, xs[0].ndim))
 
 
 @register_layer("Eltwise")
@@ -204,3 +220,235 @@ def flatten_layer(params, cfg, x):
 @register_layer("Input")
 def input_layer(params, cfg, x):
     return x
+
+
+# --- elementwise / activation vocabulary (src/caffe/layers/*) -----------
+
+@register_layer("Power")
+def power_layer(params, cfg, x):
+    pp = cfg.get("power_param", {})
+    power = float(pp.get("power", 1.0))
+    scale = float(pp.get("scale", 1.0))
+    shift = float(pp.get("shift", 0.0))
+    base = shift + scale * x
+    if power == 1.0:
+        return base
+    return jnp.power(base, power)
+
+
+@register_layer("Exp")
+def exp_layer(params, cfg, x):
+    ep = cfg.get("exp_param", {})
+    base = float(ep.get("base", -1.0))
+    scale = float(ep.get("scale", 1.0))
+    shift = float(ep.get("shift", 0.0))
+    inner = shift + scale * x
+    if base == -1.0:            # Caffe sentinel for e
+        return jnp.exp(inner)
+    return jnp.power(base, inner)
+
+
+@register_layer("Log")
+def log_layer(params, cfg, x):
+    lp = cfg.get("log_param", {})
+    base = float(lp.get("base", -1.0))
+    scale = float(lp.get("scale", 1.0))
+    shift = float(lp.get("shift", 0.0))
+    out = jnp.log(shift + scale * x)
+    if base != -1.0:
+        out = out / jnp.log(base)
+    return out
+
+
+@register_layer("AbsVal")
+def absval_layer(params, cfg, x):
+    return jnp.abs(x)
+
+
+@register_layer("BNLL")
+def bnll_layer(params, cfg, x):
+    # log(1 + exp(x)), computed stably as in bnll_layer.cpp
+    return jnp.where(
+        x > 0, x + jnp.log1p(jnp.exp(-x)), jnp.log1p(jnp.exp(x))
+    )
+
+
+@register_layer("ELU")
+def elu_layer(params, cfg, x):
+    alpha = float(cfg.get("elu_param", {}).get("alpha", 1.0))
+    return jnp.where(x > 0, x, alpha * (jnp.exp(jnp.minimum(x, 0)) - 1.0))
+
+
+@register_layer("PReLU")
+def prelu_layer(params, cfg, x):
+    """Channel-wise learned slope (prelu_layer.cpp); slope blob broadcasts
+    along the NHWC channel axis (channel_shared => scalar blob)."""
+    slope = params.get("w", params.get("0"))
+    if slope is None:
+        slope = jnp.asarray(0.25, x.dtype)   # Caffe filler default
+    slope = jnp.asarray(slope).reshape(-1)
+    if slope.size == 1:
+        slope = slope[0]
+    return jnp.where(x > 0, x, x * slope)
+
+
+@register_layer("Threshold")
+def threshold_layer(params, cfg, x):
+    t = float(cfg.get("threshold_param", {}).get("threshold", 0.0))
+    return (x > t).astype(x.dtype)
+
+
+@register_layer("Bias")
+def bias_layer(params, cfg, x, *rest):
+    """Adds a per-channel bias — learned blob or second bottom
+    (bias_layer.cpp; axis semantics folded to the NHWC channel axis)."""
+    b = rest[0] if rest else params.get("b", params.get("0"))
+    b = jnp.asarray(b).reshape(-1)
+    return x + b
+
+
+@register_layer("MVN")
+def mvn_layer(params, cfg, x):
+    mp = cfg.get("mvn_param", {})
+    across = mp.get("across_channels", False) in (True, "true")
+    normalize = mp.get("normalize_variance", True) in (True, "true")
+    eps = float(mp.get("eps", 1e-9))
+    axes = (1, 2, 3) if across else (1, 2)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    out = x - mean
+    if normalize:
+        var = jnp.mean(out * out, axis=axes, keepdims=True)
+        out = out / (jnp.sqrt(var) + eps)
+    return out
+
+
+# --- shape / routing vocabulary -----------------------------------------
+
+@register_layer("Split")
+def split_layer(params, cfg, x):
+    n = len(cfg.get("top")) if isinstance(cfg.get("top"), list) else 1
+    return tuple(x for _ in range(n)) if n > 1 else x
+
+
+@register_layer("Slice")
+def slice_layer(params, cfg, x):
+    sp = cfg.get("slice_param", {})
+    axis = _nhwc_axis(sp.get("axis", sp.get("slice_dim", 1)), x.ndim)
+    tops = cfg.get("top")
+    n_tops = len(tops) if isinstance(tops, list) else 1
+    points = sp.get("slice_point")
+    if points is None:
+        size = x.shape[axis] // n_tops
+        points = [size * i for i in range(1, n_tops)]
+    elif not isinstance(points, list):
+        points = [points]
+    return tuple(jnp.split(x, [int(p) for p in points], axis=axis))
+
+
+@register_layer("Crop")
+def crop_layer(params, cfg, x, ref):
+    """Crop x to ref's shape from `axis` on, at `offset` (crop_layer.cpp).
+    Offsets are given in NCHW axis order; applied here per mapped axis."""
+    cp = cfg.get("crop_param", {})
+    axis = int(cp.get("axis", 2))
+    offsets = cp.get("offset", 0)
+    if not isinstance(offsets, list):
+        offsets = [offsets]
+    starts = [0] * x.ndim
+    sizes = list(x.shape)
+    for i, caffe_ax in enumerate(range(axis, 4)):
+        our_ax = _nhwc_axis(caffe_ax, x.ndim)
+        off = int(offsets[i]) if i < len(offsets) else int(offsets[-1])
+        starts[our_ax] = off
+        sizes[our_ax] = ref.shape[our_ax]
+    return jax.lax.dynamic_slice(x, starts, sizes)
+
+
+@register_layer("Reshape")
+def reshape_layer(params, cfg, x):
+    """Caffe reshape dims are NCHW-semantic (0 = copy, -1 = infer);
+    reshape happens in the NCHW view, and 4-D results return as NHWC."""
+    dims = cfg.get("reshape_param", {}).get("shape", {}).get("dim", [])
+    if not isinstance(dims, list):
+        dims = [dims]
+    view = jnp.transpose(x, (0, 3, 1, 2)) if x.ndim == 4 else x
+    shape = []
+    for i, d in enumerate(int(v) for v in dims):
+        if d == 0:
+            shape.append(view.shape[i])
+        else:
+            shape.append(d)
+    out = view.reshape(shape)
+    if out.ndim == 4:
+        out = jnp.transpose(out, (0, 2, 3, 1))
+    return out
+
+
+@register_layer("Reduction")
+def reduction_layer(params, cfg, x):
+    """Reduce over the NCHW-trailing axes from `axis` on
+    (reduction_layer.cpp); output keeps the leading axes."""
+    rp = cfg.get("reduction_param", {})
+    op = str(rp.get("operation", "SUM")).upper()
+    axis = int(rp.get("axis", 0))
+    coeff = float(rp.get("coeff", 1.0))
+    view = jnp.transpose(x, (0, 3, 1, 2)) if x.ndim == 4 else x
+    if axis < 0:
+        axis += view.ndim
+    flat = view.reshape(view.shape[:axis] + (-1,))
+    if op == "ASUM":
+        out = jnp.sum(jnp.abs(flat), axis=-1)
+    elif op == "SUMSQ":
+        out = jnp.sum(flat * flat, axis=-1)
+    elif op == "MEAN":
+        out = jnp.mean(flat, axis=-1)
+    else:  # SUM
+        out = jnp.sum(flat, axis=-1)
+    return out * coeff
+
+
+@register_layer("ArgMax")
+def argmax_layer(params, cfg, x):
+    ap = cfg.get("argmax_param", {})
+    top_k = int(ap.get("top_k", 1))
+    axis = ap.get("axis")
+    if axis is not None:
+        ax = _nhwc_axis(axis, x.ndim)
+        if top_k == 1:
+            return jnp.argmax(x, axis=ax, keepdims=True).astype(
+                jnp.float32)
+        moved = jnp.moveaxis(x, ax, -1)
+        _, idx = jax.lax.top_k(moved, top_k)
+        return jnp.moveaxis(idx, -1, ax).astype(jnp.float32)
+    flat = x.reshape(x.shape[0], -1)
+    vals, idx = jax.lax.top_k(flat, top_k)
+    out = idx.astype(jnp.float32)
+    if ap.get("out_max_val") in (True, "true"):
+        out = jnp.concatenate([out, vals], axis=-1)
+    return out
+
+
+@register_layer("Deconvolution")
+def deconv_layer(params, cfg, x):
+    """Transposed convolution = gradient of the forward conv
+    (deconv_layer.cpp); out = stride*(in-1) + kernel - 2*pad.  Expressed
+    as an input-dilated conv so XLA lowers it onto the MXU like any other
+    conv.  Weights arrive pre-flipped/transposed HWIO (see Net loader)."""
+    cp = cfg.get("convolution_param", {})
+    pad = _int(cp.get("pad"), 0)
+    stride = _int(cp.get("stride"), 1)
+    k = _int(cp.get("kernel_size"), 1)
+    groups = _int(cp.get("group"), 1)
+    w = params["w"]
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((k - 1 - pad, k - 1 - pad), (k - 1 - pad, k - 1 - pad)),
+        lhs_dilation=(stride, stride),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        out = out + params["b"].astype(jnp.float32)
+    return out.astype(x.dtype)

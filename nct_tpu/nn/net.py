@@ -89,6 +89,17 @@ class Net:
                 )
                 if len(blobs) > 1:
                     entry["b"] = blobs[1].reshape(-1)
+            elif ltype == "Deconvolution" and blobs:
+                # Caffe deconv blob is (C_in, C_out/g, kh, kw); the layer
+                # computes it as an input-dilated forward conv, which needs
+                # the spatially-flipped HWIO layout (I=C_in, O=C_out)
+                entry["w"] = np.ascontiguousarray(
+                    blobs[0][:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+                )
+                if len(blobs) > 1:
+                    entry["b"] = blobs[1].reshape(-1)
+            elif ltype == "PReLU" and blobs:
+                entry["w"] = blobs[0].reshape(-1)
             elif ltype == "InnerProduct" and blobs:
                 entry["w"] = np.ascontiguousarray(blobs[0].T)
                 if len(blobs) > 1:
