@@ -154,7 +154,17 @@ def softmax_layer(params, cfg, x):
 
 @register_layer("Dropout")
 def dropout_layer(params, cfg, x):
-    return x  # inference mode (TEST phase) is identity
+    """TEST phase is identity; TRAIN phase (the Net passes a per-layer
+    ``__rng__`` key) applies the inverted-scale Bernoulli mask of
+    dropout_layer.cpp: keep with prob 1-ratio, scale kept values by
+    1/(1-ratio)."""
+    rng = params.get("__rng__")
+    if rng is None:
+        return x
+    ratio = float(cfg.get("dropout_param", {}).get("dropout_ratio", 0.5))
+    keep = 1.0 - ratio
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
 @register_layer("LRN")

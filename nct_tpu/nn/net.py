@@ -41,6 +41,7 @@ class Net:
     """Inference net over NHWC blobs."""
 
     def __init__(self, prototxt: str | dict, phase: str = "TEST"):
+        self.phase = phase
         if isinstance(prototxt, str):
             if "\n" in prototxt or "{" in prototxt:
                 net_param = parse_prototxt(prototxt)
@@ -123,17 +124,121 @@ class Net:
     def set_params(self, name: str, entry: dict) -> None:
         self.params[name] = entry
 
+    def init_params(self, input_shapes: dict[str, tuple], seed: int = 0):
+        """Create trainable parameters for every param-bearing layer from
+        its weight_filler/bias_filler specs (the Layer::SetUp +
+        filler.hpp flow of the reference; shapes are inferred by abstract
+        evaluation through the DAG, Caffe's Reshape pass).
+
+        ``input_shapes`` maps input blob names to NHWC shapes.  Returns the
+        params pytree (also stored on the net), suitable for
+        ``forward(..., params=...)`` and jax.grad.
+        """
+        key = jax.random.PRNGKey(seed)
+        blobs = {
+            n: jax.ShapeDtypeStruct(tuple(s), jnp.float32)
+            for n, s in input_shapes.items()
+        }
+        for i, cfg in enumerate(self.layers):
+            ltype = str(cfg.get("type"))
+            name = str(cfg.get("name"))
+            if ltype == "Input":
+                continue
+            bottoms = [blobs[str(b)] for b in _as_list(cfg.get("bottom"))]
+            if name not in self.params:
+                entry = self._make_layer_params(
+                    cfg, ltype, bottoms, jax.random.fold_in(key, i)
+                )
+                if entry:
+                    self.params[name] = entry
+            fn = LAYER_REGISTRY[ltype]
+            lparams = self.params.get(name, {})
+            out = jax.eval_shape(
+                lambda *bs: fn(lparams, cfg, *bs), *bottoms
+            )
+            outs = out if isinstance(out, (tuple, list)) else [out]
+            for t, o in zip(
+                [str(t) for t in _as_list(cfg.get("top"))], outs
+            ):
+                blobs[t] = o
+        return self.params
+
+    def _make_layer_params(self, cfg, ltype, bottoms, key):
+        """Filler-driven parameter creation per layer type (filler.hpp fan
+        conventions: fan_in = count/num, fan_out = count/channels of the
+        Caffe OIHW blob)."""
+        from nct_tpu.nn.fillers import fill
+
+        k1, k2 = jax.random.split(key)
+        if ltype in ("Convolution", "Deconvolution"):
+            cp = cfg.get("convolution_param", {})
+            o = int(cp.get("num_output"))
+            ksz = int(cp.get("kernel_size", 1))
+            g = int(cp.get("group", 1))
+            cin = bottoms[0].shape[-1]
+            if ltype == "Convolution":
+                shape = (ksz, ksz, cin // g, o)
+                fan_in, fan_out = (cin // g) * ksz * ksz, o * ksz * ksz
+            else:
+                shape = (ksz, ksz, cin, o // g)
+                fan_in, fan_out = (o // g) * ksz * ksz, cin * ksz * ksz
+            entry = {"w": fill(k1, cp.get("weight_filler"), shape,
+                               fan_in, fan_out)}
+            if cp.get("bias_term", True) not in (False, "false"):
+                entry["b"] = fill(k2, cp.get("bias_filler"), (o,))
+            return entry
+        if ltype == "InnerProduct":
+            ipp = cfg.get("inner_product_param", {})
+            o = int(ipp.get("num_output"))
+            cin = 1
+            for d in bottoms[0].shape[1:]:
+                cin *= d
+            entry = {"w": fill(k1, ipp.get("weight_filler"), (cin, o),
+                               cin, o)}
+            if ipp.get("bias_term", True) not in (False, "false"):
+                entry["b"] = fill(k2, ipp.get("bias_filler"), (o,))
+            return entry
+        if ltype == "PReLU":
+            pp = cfg.get("prelu_param", {})
+            c = (1 if pp.get("channel_shared") in (True, "true")
+                 else bottoms[0].shape[-1])
+            spec = pp.get("filler") or {"type": "constant", "value": 0.25}
+            return {"w": fill(k1, spec, (c,))}
+        if ltype == "Scale":
+            sp = cfg.get("scale_param", {})
+            c = bottoms[0].shape[-1]
+            spec = sp.get("filler") or {"type": "constant", "value": 1.0}
+            entry = {"w": fill(k1, spec, (c,))}
+            if sp.get("bias_term") in (True, "true"):
+                entry["b"] = fill(k2, sp.get("bias_filler"), (c,))
+            return entry
+        if ltype == "Bias":
+            c = bottoms[0].shape[-1]
+            spec = cfg.get("bias_param", {}).get("filler")
+            return {"b": fill(k1, spec, (c,))}
+        if ltype == "BatchNorm":
+            c = bottoms[0].shape[-1]
+            return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,)),
+                    "scale_factor": jnp.ones(())}
+        return {}
+
     # --- execution --------------------------------------------------------
     def forward(
         self,
         inputs: dict[str, jnp.ndarray],
         output_blobs: Sequence[str] | None = None,
+        params: dict | None = None,
+        rng: jnp.ndarray | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Run the DAG; returns requested blobs (default: all).
 
         One traced program; under jit this fuses exactly like the
-        hand-written VGG path.
+        hand-written VGG path.  ``params`` overrides the net's stored
+        parameters (the functional form jax.grad differentiates through);
+        ``rng`` enables TRAIN-phase stochastic layers (Dropout) — each such
+        layer gets a key folded from its layer index.
         """
+        store = self.params if params is None else params
         blobs: dict[str, jnp.ndarray] = dict(inputs)
         wanted = set(output_blobs) if output_blobs else None
         produced_after = None
@@ -156,13 +261,59 @@ class Net:
             name = str(cfg.get("name"))
             bottoms = [blobs[str(b)] for b in _as_list(cfg.get("bottom"))]
             tops = [str(t) for t in _as_list(cfg.get("top"))]
-            out = fn(self.params.get(name, {}), cfg, *bottoms)
+            lparams = store.get(name, {})
+            if rng is not None and ltype == "Dropout" and self.phase == "TRAIN":
+                lparams = dict(lparams, __rng__=jax.random.fold_in(rng, i))
+            out = fn(lparams, cfg, *bottoms)
             outs = out if isinstance(out, (tuple, list)) else [out]
             for t, o in zip(tops, outs):
                 blobs[t] = o
         if wanted is None:
             return blobs
         return {k: blobs[k] for k in wanted}
+
+    # --- training surface (ref net.cpp AppendTop loss_weight logic) -------
+    def loss_tops(self) -> list[tuple[str, float]]:
+        """(top blob, weight) for every loss-contributing layer: layers of
+        *Loss type get an implicit weight of 1, any layer can opt in via
+        ``loss_weight`` (net.cpp:AppendTop)."""
+        out = []
+        for cfg in self.layers:
+            ltype = str(cfg.get("type"))
+            tops = [str(t) for t in _as_list(cfg.get("top"))]
+            weights = _as_list(cfg.get("loss_weight"))
+            for j, t in enumerate(tops):
+                if j < len(weights):
+                    w = float(weights[j])
+                elif ltype.endswith("Loss") and j == 0:
+                    w = 1.0
+                else:
+                    w = 0.0
+                if w:
+                    out.append((t, w))
+        return out
+
+    def make_loss_fn(self):
+        """loss_fn(params, batch) for train.Solver: runs the DAG with the
+        given params, feeding ``batch`` (a dict) as input blobs, and sums
+        the weighted loss tops — the role of Net::ForwardBackward."""
+        tops = self.loss_tops()
+        if not tops:
+            raise ValueError("net has no loss layers")
+        names = tuple(t for t, _ in tops)
+
+        def loss_fn(params, batch):
+            rng = None
+            if isinstance(batch, dict) and "__rng__" in batch:
+                batch = dict(batch)
+                rng = batch.pop("__rng__")
+            blobs = self.forward(batch, names, params=params, rng=rng)
+            total = 0.0
+            for t, w in tops:
+                total = total + w * jnp.sum(blobs[t])
+            return total
+
+        return loss_fn
 
     def forward_jit(self, output_blobs: tuple[str, ...] | None = None):
         """Jitted closure over current params (recreate after set_params)."""
