@@ -110,23 +110,61 @@ class NetSolver:
         self.proto = solver
         self.net = Net(solver.net, phase="TRAIN")
         seed = solver.random_seed if solver.random_seed >= 0 else 0
-        self.net.init_params(input_shapes or {}, seed=seed)
+
+        # ImageData layers are host IO, not graph ops: strip them from the
+        # traced DAG and stream their tops as input batches (the reference
+        # splits the same way — BasePrefetchingDataLayer thread vs net
+        # forward).
+        self.data_source = None
+        kept = []
+        shapes = dict(input_shapes or {})
+        for cfg in self.net.layers:
+            if str(cfg.get("type")) == "ImageData":
+                from nct_tpu.data.image_data import ImageDataSource
+
+                self.data_source = ImageDataSource(
+                    cfg, phase="TRAIN", seed=seed)
+                imgs, labels = self.data_source.next_batch()
+                tops = cfg.get("top")
+                tops = tops if isinstance(tops, list) else [tops]
+                self._data_tops = [str(t) for t in tops]
+                shapes[self._data_tops[0]] = imgs.shape
+                if len(self._data_tops) > 1:
+                    shapes[self._data_tops[1]] = labels.shape
+                self._first_batch = (imgs, labels)
+            else:
+                kept.append(cfg)
+        self.net.layers = kept
+        self.net.init_params(shapes, seed=seed)
         self.solver = Solver(
             self.net.make_loss_fn(), self.net.params,
             solver.solver_params, mesh=mesh,
         )
 
     def solve(self, batches=None) -> float:
-        """Train to max_iter.  With no batches, the net feeds itself
-        (DummyData layers) and each step receives a fresh dropout key."""
+        """Train to max_iter.  With no batches, the net feeds itself —
+        DummyData tops come from the traced graph, ImageData tops stream
+        from the host-side source — and each step receives a fresh
+        dropout key."""
         if batches is None:
             key = jax.random.PRNGKey(
                 max(self.proto.random_seed, 0))
 
             def empty_batches():
                 it = 0
+                first = getattr(self, "_first_batch", None)
                 while True:
-                    yield {"__rng__": jax.random.fold_in(key, it)}
+                    batch = {"__rng__": jax.random.fold_in(key, it)}
+                    if self.data_source is not None:
+                        if first is not None:
+                            imgs, labels = first
+                            first = None
+                        else:
+                            imgs, labels = self.data_source.next_batch()
+                        batch[self._data_tops[0]] = imgs
+                        if len(self._data_tops) > 1:
+                            batch[self._data_tops[1]] = labels
+                    yield batch
                     it += 1
 
             batches = empty_batches()

@@ -366,3 +366,88 @@ def test_caffe_tool_test_subcommand(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "loss = " in out and "acc = " in out
+
+
+# ---------------------------------------------------------------------------
+# ImageData layer + DataTransformer (image_data_layer.cpp,
+# data_transformer.cpp)
+# ---------------------------------------------------------------------------
+
+def test_data_transformer_center_crop_mean_scale():
+    from nct_tpu.data.image_data import DataTransformer
+
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    tr = DataTransformer(
+        {"crop_size": 4, "mean_value": [1.0, 2.0, 3.0], "scale": 0.5},
+        phase="TEST",
+    )
+    out = tr(img)
+    assert out.shape == (4, 4, 3)
+    # center crop offsets: h_off=(6-4)//2=1, w_off=(8-4)//2=2
+    want = (img[1:5, 2:6].astype(np.float32)
+            - np.asarray([1.0, 2.0, 3.0], np.float32)) * 0.5
+    np.testing.assert_allclose(out, want)
+
+
+def test_image_data_source_batches_and_wraparound(tmp_path):
+    from nct_tpu.data.image_data import ImageDataSource
+
+    lst = tmp_path / "list.txt"
+    lst.write_text(
+        "in/in0.png 0\n"
+        "in/tar0.png 1\n"
+    )
+    cfg = {
+        "top": ["data", "label"],
+        "image_data_param": {
+            "source": str(lst),
+            "root_folder": "/root/reference/demo/example/",
+            "batch_size": 3,
+            "new_height": 16,
+            "new_width": 16,
+        },
+    }
+    src = ImageDataSource(cfg, phase="TEST")
+    imgs, labels = src.next_batch()
+    assert imgs.shape == (3, 16, 16, 3)
+    # batch of 3 over a 2-line list wraps: labels 0, 1, 0
+    np.testing.assert_allclose(labels, [0.0, 1.0, 0.0])
+    imgs2, labels2 = src.next_batch()
+    np.testing.assert_allclose(labels2, [1.0, 0.0, 1.0])
+    assert np.isfinite(imgs).all() and imgs.max() > 1.0
+
+
+def test_net_solver_trains_from_image_data_layer(tmp_path):
+    """caffe train on a real image-list net: ImageData -> conv -> pool ->
+    fc -> SoftmaxWithLoss, two demo images as a 2-class toy problem."""
+    lst = tmp_path / "list.txt"
+    lst.write_text("in/in0.png 0\nin/tar0.png 1\n")
+    solver_text = f"""
+net_param {{
+  name: "imgnet"
+  layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+    image_data_param {{
+      source: "{lst}"
+      root_folder: "/root/reference/demo/example/"
+      batch_size: 2
+      new_height: 16
+      new_width: 16 }}
+    transform_param {{ scale: 0.00390625 }} }}
+  layer {{ name: "fc" type: "InnerProduct" bottom: "data" top: "score"
+    inner_product_param {{ num_output: 2
+      weight_filler {{ type: "xavier" }} }} }}
+  layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "score"
+    bottom: "label" top: "loss" }}
+}}
+base_lr: 0.1
+lr_policy: "fixed"
+momentum: 0.9
+max_iter: 40
+random_seed: 3
+"""
+    from nct_tpu.train.solver_proto import NetSolver
+
+    ns = NetSolver(solver_text)
+    loss = ns.solve()
+    # two fixed images, a linear classifier: separable -> loss near 0
+    assert loss < 0.1, loss
