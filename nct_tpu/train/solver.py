@@ -38,6 +38,10 @@ class SolverParams:
     display: int = 0               # print loss every N iters (0 = never)
     snapshot: int = 0              # snapshot every N iters (0 = never)
     snapshot_prefix: str = "snapshot"
+    # "npz" (the .caffemodel-binaryproto analogue) or "hdf5" (the
+    # reference's SolverParameter snapshot_format HDF5,
+    # solver.cpp SnapshotToHDF5); restore() detects either by extension.
+    snapshot_format: str = "npz"
 
 
 def _flatten_tree(tree, prefix=""):
@@ -148,18 +152,50 @@ class Solver:
                 signal.signal(sig, h)
         return loss
 
-    # --- checkpointing (ref Solver::Snapshot/Restore) --------------------
+    # --- checkpointing (ref Solver::Snapshot/Restore; HDF5 path:
+    # solver.cpp SnapshotToHDF5 / RestoreSolverStateFromHDF5) -------------
     def snapshot(self, path: str | None = None) -> str:
-        path = path or f"{self.param.snapshot_prefix}_iter_{self.iter}.npz"
+        fmt = self.param.snapshot_format
+        if path is None:
+            ext = "h5" if fmt == "hdf5" else "npz"
+            path = f"{self.param.snapshot_prefix}_iter_{self.iter}.{ext}"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         blob = {"__iter__": np.asarray(self.iter)}
         blob.update(_flatten_tree(self.params, "params/"))
         blob.update(_flatten_tree(self.state, "state/"))
-        np.savez(path, **blob)
+        if path.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(path, "w") as f:
+                for k, v in blob.items():
+                    f.create_dataset(k, data=v)
+        else:
+            np.savez(path, **blob)
         return path
 
     def restore(self, path: str) -> None:
-        data = np.load(path)
+        if path.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                data = {k: np.asarray(f[k]) for k in _h5_keys(f)}
+        else:
+            data = np.load(path)
         self.iter = int(data["__iter__"])
         self.params = _unflatten_into(self.params, data, "params/")
         self.state = _unflatten_into(self.state, data, "state/")
+
+
+def _h5_keys(group, prefix: str = "") -> list[str]:
+    """Flat dataset paths under an h5py group (matching _flatten_tree's
+    '/'-joined key convention)."""
+    import h5py
+
+    out: list[str] = []
+    for k, v in group.items():
+        p = f"{prefix}{k}"
+        if isinstance(v, h5py.Group):
+            out.extend(_h5_keys(v, p + "/"))
+        else:
+            out.append(p)
+    return out

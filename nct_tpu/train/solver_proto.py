@@ -80,6 +80,13 @@ def parse_solver_prototxt(text_or_path: str) -> SolverProto:
         display=int(msg.get("display", 0)),
         snapshot=int(msg.get("snapshot", 0)),
         snapshot_prefix=str(msg.get("snapshot_prefix", "snapshot")),
+        # SolverParameter.snapshot_format enum {HDF5, BINARYPROTO}; the
+        # binaryproto analogue here is npz
+        snapshot_format=(
+            "hdf5"
+            if str(msg.get("snapshot_format", "")).upper() == "HDF5"
+            else "npz"
+        ),
     )
     net = msg.get("net") or msg.get("train_net")
     if isinstance(net, str) and not os.path.isabs(net):
@@ -111,27 +118,33 @@ class NetSolver:
         self.net = Net(solver.net, phase="TRAIN")
         seed = solver.random_seed if solver.random_seed >= 0 else 0
 
-        # ImageData layers are host IO, not graph ops: strip them from the
-        # traced DAG and stream their tops as input batches (the reference
-        # splits the same way — BasePrefetchingDataLayer thread vs net
-        # forward).
+        # Data layers (ImageData, HDF5Data) are host IO, not graph ops:
+        # strip them from the traced DAG and stream their tops as input
+        # batches (the reference splits the same way —
+        # BasePrefetchingDataLayer thread vs net forward).
         self.data_source = None
         kept = []
         shapes = dict(input_shapes or {})
         for cfg in self.net.layers:
-            if str(cfg.get("type")) == "ImageData":
-                from nct_tpu.data.image_data import ImageDataSource
+            ltype = str(cfg.get("type"))
+            if ltype in ("ImageData", "HDF5Data"):
+                if ltype == "ImageData":
+                    from nct_tpu.data.image_data import ImageDataSource
 
-                self.data_source = ImageDataSource(
-                    cfg, phase="TRAIN", seed=seed)
-                imgs, labels = self.data_source.next_batch()
+                    self.data_source = ImageDataSource(
+                        cfg, phase="TRAIN", seed=seed)
+                else:
+                    from nct_tpu.data.hdf5_data import HDF5DataSource
+
+                    self.data_source = HDF5DataSource(
+                        cfg, phase="TRAIN", seed=seed)
+                first = tuple(self.data_source.next_batch())
                 tops = cfg.get("top")
                 tops = tops if isinstance(tops, list) else [tops]
                 self._data_tops = [str(t) for t in tops]
-                shapes[self._data_tops[0]] = imgs.shape
-                if len(self._data_tops) > 1:
-                    shapes[self._data_tops[1]] = labels.shape
-                self._first_batch = (imgs, labels)
+                for t, arr in zip(self._data_tops, first):
+                    shapes[t] = arr.shape
+                self._first_batch = first
             else:
                 kept.append(cfg)
         self.net.layers = kept
@@ -157,13 +170,11 @@ class NetSolver:
                     batch = {"__rng__": jax.random.fold_in(key, it)}
                     if self.data_source is not None:
                         if first is not None:
-                            imgs, labels = first
-                            first = None
+                            arrays, first = first, None
                         else:
-                            imgs, labels = self.data_source.next_batch()
-                        batch[self._data_tops[0]] = imgs
-                        if len(self._data_tops) > 1:
-                            batch[self._data_tops[1]] = labels
+                            arrays = tuple(self.data_source.next_batch())
+                        for t, arr in zip(self._data_tops, arrays):
+                            batch[t] = arr
                     yield batch
                     it += 1
 
