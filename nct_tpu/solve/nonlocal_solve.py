@@ -316,7 +316,13 @@ def make_nonlocal_system(
         # a fixed width would waste gather rows wherever images are small
         # relative to the candidate table.
         mean_in = -(-(n * k) // n_slots)
-        in_max = min(max(8, (3 * mean_in + 1) // 2), in_cap, n * k)
+        if in_cap >= n * k:
+            # ample cap = exactness requested: no hub can overflow a
+            # width of n*k, so the operator equals the dense A^T A
+            # (the contract tests/test_solvers.py probes)
+            in_max = n * k
+        else:
+            in_max = min(max(8, (3 * mean_in + 1) // 2), in_cap, n * k)
         flat_t = nbr_slots.reshape(-1).astype(jnp.int32)  # pair -> slot
         sort_key = flat_t.astype(jnp.float32) * 16.0 - jnp.clip(
             pair_w.reshape(-1), 0.0, 15.0

@@ -78,6 +78,9 @@ def demo_dir():
     return path
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped: every test sees the same stream regardless of
+    which tests ran before it (a session-scoped generator made test data
+    depend on suite order, producing order-dependent 'flaky' failures)."""
     return np.random.default_rng(0)

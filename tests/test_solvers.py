@@ -404,6 +404,52 @@ def test_nonlocal_slot_path_matches_dense_normal_matrix(rng):
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_nonlocal_slot_path_ample_cap_exact_under_hub(rng):
+    """Regression: with an ample in-cap (>= n*k) the slot-path operator
+    must equal dense A^T A even when one slot is a hub absorbing EVERY
+    directed edge — the width heuristic used to floor at max(8, 1.5*mean)
+    and silently drop hub overflow, making the 'ample cap' contract
+    order-dependently false for unlucky draws."""
+    h, w = 3, 4
+    n = h * w
+    kc, m, k = 2, 4, 5
+    s = rng.uniform(0.1, 0.9, (h, w, 3))
+    r = rng.uniform(0.1, 0.9, (h, w, 3))
+    conf = rng.uniform(0.2, 1.0, (h, w))
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    # every pair targets slot 0: in-degree n*k at one slot, 0 elsewhere
+    nbr_slots = np.zeros((n, k), np.int32)
+    ids = candidates.reshape(-1)[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+    nf, lw, alpha, nlw = 4.0, 0.125, 1.2, 2.0
+
+    gx, gy = gradient_weights(jnp.asarray(s[..., 0], jnp.float32), lw, alpha)
+    gx, gy = np.asarray(gx, np.float64), np.asarray(gy, np.float64)
+
+    operator, _, _ = make_nonlocal_system(
+        jnp.asarray(s, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(conf, jnp.float32), jnp.asarray(ids),
+        jnp.asarray(wts, jnp.float32), nf, lw, alpha, nlw,
+        candidates=jnp.asarray(candidates),
+        nbr_slots=jnp.asarray(nbr_slots),
+        in_cap=n * k,
+    )
+    x_a = rng.standard_normal((h, w, 3)).astype(np.float32)
+    x_b = rng.standard_normal((h, w, 3)).astype(np.float32)
+    got_a, got_b = operator((jnp.asarray(x_a), jnp.asarray(x_b)))
+    for c in range(3):
+        A, _rb = _reference_nonlocal_rows(
+            s[..., c], r[..., c], conf, nf, gx, gy, ids, wts, nlw, k
+        )
+        x = np.concatenate([x_a[..., c].reshape(-1), x_b[..., c].reshape(-1)])
+        want = A.T @ A @ x
+        got = np.concatenate([
+            np.asarray(got_a[..., c]).reshape(-1),
+            np.asarray(got_b[..., c]).reshape(-1),
+        ])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_nonlocal_slot_path_capped_stays_symmetric(rng):
     """When the in-cap truncates (hub candidates), the operator must stay
     symmetric (dropped edges zeroed on BOTH sides) or CG diverges."""
