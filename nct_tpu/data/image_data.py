@@ -62,6 +62,19 @@ class DataTransformer:
         mv = tp.get("mean_value", [])
         self.mean_values = [float(v) for v in
                             (mv if isinstance(mv, list) else [mv])]
+        # mean_file: per-pixel mean image (data_transformer.cpp's
+        # binaryproto path; here an npz/npy from tools/compute_image_mean)
+        self.mean_image = None
+        mf = tp.get("mean_file")
+        if mf:
+            if self.mean_values:
+                raise ValueError(
+                    "mean_file and mean_value are exclusive "
+                    "(data_transformer.cpp enforces the same)")
+            data = np.load(str(mf))
+            self.mean_image = np.asarray(
+                data["mean"] if hasattr(data, "files") else data,
+                np.float32)
         self.phase = phase
         self._rng = np.random.default_rng(seed)
 
@@ -70,6 +83,7 @@ class DataTransformer:
         x = img_bgr_u8.astype(np.float32)
         h, w = x.shape[:2]
         cs = self.crop_size
+        mean_img = self.mean_image
         if cs:
             if self.phase == "TRAIN":
                 h_off = int(self._rng.integers(0, h - cs + 1))
@@ -77,6 +91,12 @@ class DataTransformer:
             else:  # center crop at TEST
                 h_off, w_off = (h - cs) // 2, (w - cs) // 2
             x = x[h_off:h_off + cs, w_off:w_off + cs]
+            if mean_img is not None:
+                # mean_file is indexed at the SAME crop offsets
+                # (data_transformer.cpp: mean[(h_off+h)*W + w_off+w])
+                mean_img = mean_img[h_off:h_off + cs, w_off:w_off + cs]
+        if mean_img is not None:
+            x = x - mean_img      # before mirror, in source coordinates
         if self.mirror and self.phase == "TRAIN" and self._rng.integers(2):
             x = x[:, ::-1]
         if self.mean_values:

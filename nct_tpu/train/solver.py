@@ -112,8 +112,12 @@ class Solver:
         self.iter += 1
         return float(loss)
 
-    def solve(self, batches: Iterable) -> float:
+    def solve(self, batches: Iterable, on_iter: Callable | None = None) -> float:
         """Run up to max_iter (ref Solver::Solve), snapshotting on schedule.
+
+        ``on_iter(solver)`` runs once before the loop (the reference's
+        test_initialization eval) and after every step — the hook
+        NetSolver uses for its test_interval evaluation.
 
         SIGINT/SIGHUP during the loop trigger a snapshot-then-stop at the
         next iteration boundary — the SignalHandler behaviour of the
@@ -135,6 +139,8 @@ class Solver:
 
         loss = float("nan")
         try:
+            if on_iter is not None:
+                on_iter(self)          # ref test_initialization: eval before step 1
             for batch in batches:
                 if self.iter >= self.param.max_iter:
                     break
@@ -145,8 +151,14 @@ class Solver:
                 loss = self.step(batch)
                 if self.param.display and self.iter % self.param.display == 0:
                     print(f"Iteration {self.iter}, loss = {loss}")
+                    # the reference prints the effective rate alongside the
+                    # loss (sgd_solver.cpp GetLearningRate display)
+                    rate = learning_rate(self.param.lr, self.iter)
+                    print(f"Iteration {self.iter}, lr = {float(rate)}")
                 if self.param.snapshot and self.iter % self.param.snapshot == 0:
                     self.snapshot()
+                if on_iter is not None:
+                    on_iter(self)
         finally:
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)

@@ -154,6 +154,74 @@ class NetSolver:
             solver.solver_params, mesh=mesh,
         )
 
+        # Periodic TEST-phase evaluation (ref solver.cpp TestAll/Test:
+        # every test_interval iterations, forward the test net test_iter
+        # times and print the averaged outputs).  The test net shares the
+        # training parameters (ref: ShareTrainedLayersWith).
+        self.test_net = None
+        self._test_source = None
+        if solver.test_interval > 0:
+            self.test_net = Net(solver.net, phase="TEST")
+            t_kept = []
+            for cfg in self.test_net.layers:
+                ltype = str(cfg.get("type"))
+                if ltype in ("ImageData", "HDF5Data"):
+                    if ltype == "ImageData":
+                        from nct_tpu.data.image_data import ImageDataSource
+
+                        self._test_source = ImageDataSource(
+                            cfg, phase="TEST", seed=seed)
+                    else:
+                        from nct_tpu.data.hdf5_data import HDF5DataSource
+
+                        self._test_source = HDF5DataSource(
+                            cfg, phase="TEST", seed=seed)
+                    tops = cfg.get("top")
+                    tops = tops if isinstance(tops, list) else [tops]
+                    self._test_tops = [str(t) for t in tops]
+                else:
+                    t_kept.append(cfg)
+            self.test_net.layers = t_kept
+
+    def test(self) -> dict[str, float]:
+        """One full test pass: test_iter forwards, outputs averaged
+        (ref solver.cpp Test: loss/accuracy tops of the TEST net)."""
+        if self.test_net is None:
+            return {}
+        net = self.test_net
+        score_tops = []
+        for cfg in net.layers:
+            ltype = str(cfg.get("type"))
+            tops = cfg.get("top")
+            tops = tops if isinstance(tops, list) else [tops]
+            if ltype.endswith("Loss") or ltype == "Accuracy":
+                score_tops.extend(str(t) for t in tops)
+        if not score_tops:
+            return {}
+        names = tuple(score_tops)
+        run = getattr(self, "_test_run", None)
+        if run is None:
+            run = jax.jit(
+                lambda params, batch: net.forward(
+                    batch, names, params=params)
+            )
+            self._test_run = run
+        iters = max(self.proto.test_iter, 1)
+        sums = {t: 0.0 for t in names}
+        for _ in range(iters):
+            batch = {}
+            if self._test_source is not None:
+                arrays = tuple(self._test_source.next_batch())
+                batch = dict(zip(self._test_tops, arrays))
+            out = run(self.solver.params, batch)
+            for t in names:
+                sums[t] += float(out[t])
+        scores = {t: sums[t] / iters for t in names}
+        print(f"Iteration {self.solver.iter}, Testing net (#0)")
+        for i, t in enumerate(names):
+            print(f"    Test net output #{i}: {t} = {scores[t]:.6f}")
+        return scores
+
     def solve(self, batches=None) -> float:
         """Train to max_iter.  With no batches, the net feeds itself —
         DummyData tops come from the traced graph, ImageData tops stream
@@ -179,6 +247,14 @@ class NetSolver:
                     it += 1
 
             batches = empty_batches()
-        loss = self.solver.solve(batches)
+        on_iter = None
+        if self.test_net is not None:
+            interval = self.proto.test_interval
+
+            def on_iter(solver):
+                if solver.iter % interval == 0:
+                    self.test()
+
+        loss = self.solver.solve(batches, on_iter=on_iter)
         self.net.params = self.solver.params
         return loss
