@@ -150,3 +150,34 @@ def test_convert_imageset_roundtrip_through_hdf5_source(tmp_path):
 
     want = _imread_bgr(DEMO + "in/in0.png", 12, 12).astype(np.float32)
     np.testing.assert_allclose(data[0], want)
+
+
+VGG_PROTOTXT = ("/root/reference/demo/model/vgg19/"
+                "VGG_ILSVRC_19_layers_deploy.prototxt")
+
+
+def test_draw_net_dot_and_text(tmp_path):
+    """draw_net (reference python/caffe/draw.py analogue): the DOT graph
+    must chain in-place rebinds so consumers read post-ReLU values, and the
+    text table lists the execution order."""
+    import draw_net
+
+    from nct_tpu.nn.net import Net
+
+    net = Net(VGG_PROTOTXT)
+    dot = draw_net.to_dot(net)
+    # conv1_2 consumes the post-relu1_1 value of blob conv1_1, never the raw
+    # conv output (in-place rebind semantics, net.py module docstring)
+    assert '"blob_conv1_1@relu1_1" -> "layer_conv1_2";' in dot
+    assert '"blob_conv1_1" -> "layer_conv1_2";' not in dot
+    assert dot.count("shape=box") == len(net.layers)
+
+    text = draw_net.to_text(net)
+    first_rows = [l.split()[0] for l in text.splitlines()[1:4]]
+    assert first_rows == ["conv1_1", "relu1_1", "conv1_2"]
+    assert "n64 k3 s1 p1" in text
+
+    # CLI writes a file
+    out = tmp_path / "net.dot"
+    draw_net.main([VGG_PROTOTXT, str(out)])
+    assert out.read_text().startswith("digraph")
