@@ -51,6 +51,21 @@ class Net:
             net_param = prototxt
         self.name = net_param.get("name", "net")
         self.inputs = [str(i) for i in _as_list(net_param.get("input"))]
+        # Declared input dims: `input_shape { dim: ... }` repeated per input,
+        # or legacy flat `input_dim` (4 ints per input) — caffe.proto
+        # NetParameter fields 8 (input_shape) and 4 (input_dim).
+        self.input_shapes: dict[str, tuple] = {}
+        shapes = _as_list(net_param.get("input_shape"))
+        if shapes:
+            for name, entry in zip(self.inputs, shapes):
+                if isinstance(entry, dict):
+                    self.input_shapes[name] = tuple(_as_list(entry.get("dim")))
+        else:
+            dims = [int(d) for d in _as_list(net_param.get("input_dim"))]
+            for i, name in enumerate(self.inputs):
+                chunk = dims[4 * i : 4 * i + 4]
+                if chunk:
+                    self.input_shapes[name] = tuple(chunk)
         layers = _as_list(net_param.get("layer")) or _as_list(
             net_param.get("layers")
         )

@@ -17,7 +17,7 @@ from nct_tpu.ops.resize import resize_bilinear  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def bgr(rng):
+def bgr():
     # fresh generator so results don't depend on test order
     r = np.random.default_rng(42)
     return r.integers(0, 256, (96, 80, 3)).astype(np.uint8)

@@ -26,31 +26,50 @@ _sys.path.insert(
 from nct_tpu.nn.net import Net
 
 
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _hw(p: dict, field: str, base: str, default=None) -> str:
+    """Render a possibly-repeated / possibly-h+w spatial hyper-param the way
+    Caffe means it: ``base`` (e.g. kernel_size) may repeat per spatial dim,
+    and <field>_h/<field>_w override it for rectangular shapes (caffe.proto
+    ConvolutionParameter)."""
+    h, w = p.get(f"{field}_h"), p.get(f"{field}_w")
+    if h is not None or w is not None:
+        return f"{h if h is not None else '?'}x{w if w is not None else '?'}"
+    vals = _as_list(p.get(base))
+    if not vals:
+        return "" if default is None else str(default)
+    return "x".join(str(v) for v in vals)
+
+
 def _layer_detail(cfg: dict) -> str:
     """One-line hyper-parameter note for conv/pool/ip layers (the fields the
     reference surfaces in its node labels, draw.py:46-114)."""
     for key in ("convolution_param", "pooling_param"):
         p = cfg.get(key)
         if isinstance(p, dict):
-            k = p.get("kernel_size", p.get("kernel_h", "?"))
-            s = p.get("stride", p.get("stride_h", 1))
-            pad = p.get("pad", p.get("pad_h", 0))
+            k = _hw(p, "kernel", "kernel_size", "?") or "?"
+            s = _hw(p, "stride", "stride", 1) or "1"
+            pad = _hw(p, "pad", "pad", 0) or "0"
             parts = [f"k{k}", f"s{s}", f"p{pad}"]
             if "num_output" in p:
                 parts.insert(0, f"n{p['num_output']}")
             if key == "pooling_param":
                 parts.insert(0, str(p.get("pool", "MAX")))
-            return " ".join(str(x) for x in parts)
+            return " ".join(parts)
     p = cfg.get("inner_product_param")
     if isinstance(p, dict) and "num_output" in p:
         return f"n{p['num_output']}"
     return ""
 
 
-def _as_list(v):
-    if v is None:
-        return []
-    return v if isinstance(v, list) else [v]
+def _q(s: str) -> str:
+    """Escape a string for use inside a double-quoted DOT identifier/label."""
+    return str(s).replace("\\", "\\\\").replace('"', '\\"')
 
 
 # node fill colors by role (original palette; the reference also colors by
@@ -67,7 +86,7 @@ _COLORS = {
 def to_dot(net: Net, rankdir: str = "LR") -> str:
     """DOT digraph: box nodes per layer, ellipse nodes per blob."""
     lines = [
-        f'digraph "{net.name}" {{',
+        f'digraph "{_q(net.name)}" {{',
         f"  rankdir={rankdir};",
         '  node [fontsize=10, fontname="Helvetica"];',
     ]
@@ -79,34 +98,44 @@ def to_dot(net: Net, rankdir: str = "LR") -> str:
     emitted = set()
 
     def blob_node(node: str, label: str):
+        # label may contain intentional DOT \n separators; its text parts
+        # are pre-escaped by the callers
         if node not in emitted:
             emitted.add(node)
-            lines.append(f'  "blob_{node}" [label="{label}", shape=ellipse];')
+            lines.append(
+                f'  "blob_{_q(node)}" [label="{label}", shape=ellipse];'
+            )
 
     for name in net.inputs:
         current[name] = name
-        blob_node(name, name)
+        shape = net.input_shapes.get(name)
+        label = _q(name) if not shape else (
+            _q(name) + "\\n" + "x".join(str(d) for d in shape)
+        )
+        blob_node(name, label)
     for cfg in net.layers:
         name = str(cfg.get("name", "?"))
         ltype = str(cfg.get("type", "?"))
         detail = _layer_detail(cfg)
-        label = f"{name}\\n({ltype})" + (f"\\n{detail}" if detail else "")
+        label = f"{_q(name)}\\n({_q(ltype)})" + (
+            f"\\n{_q(detail)}" if detail else ""
+        )
         fill = _COLORS.get(ltype, "#ffffff")
         lines.append(
-            f'  "layer_{name}" [label="{label}", shape=box, '
+            f'  "layer_{_q(name)}" [label="{label}", shape=box, '
             f'style=filled, fillcolor="{fill}"];'
         )
         bottoms = [str(b) for b in _as_list(cfg.get("bottom"))]
         tops = [str(t) for t in _as_list(cfg.get("top"))]
         for b in bottoms:
             src = current.get(b, b)
-            blob_node(src, b)
-            lines.append(f'  "blob_{src}" -> "layer_{name}";')
+            blob_node(src, _q(b))
+            lines.append(f'  "blob_{_q(src)}" -> "layer_{_q(name)}";')
         for t in tops:
             node = t if t not in bottoms else f"{t}@{name}"
             current[t] = node
-            blob_node(node, t)
-            lines.append(f'  "layer_{name}" -> "blob_{node}";')
+            blob_node(node, _q(t))
+            lines.append(f'  "layer_{_q(name)}" -> "blob_{_q(node)}";')
     lines.append("}")
     return "\n".join(lines) + "\n"
 
