@@ -102,6 +102,17 @@ class Config:
     # reference's multi-cluster kd-tree merge (ColorTransfer.cpp:397-423)
     # at ~P x the graph-build cost (build-time only, not per CG iteration).
     knn_memberships: int = 1
+    # Space sharding: when set (a jax.sharding.Mesh whose `space_axis` has
+    # size > 1), the exact-NN levels route through the ring-scheduled
+    # matcher (parallel/ring_nn.py) instead of the auto-partitioned one —
+    # both patch tables stay row-sharded and the style table is streamed
+    # around the ring (lax.ppermute) rather than ALL-GATHERED onto every
+    # shard (~90% of the auto-partitioned module's collective bytes and an
+    # O(style-size) per-device memory ceiling; PERFORMANCE.md).  Set by
+    # parallel/batch.make_batch_transfer for space-sharded meshes; a Mesh
+    # is hashable, so the Config still rides as a static jit argument.
+    space_mesh: object = None
+    space_axis: str = "space"
 
     @classmethod
     def reference_parity(cls, **overrides) -> "Config":

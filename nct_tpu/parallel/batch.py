@@ -22,7 +22,8 @@ from nct_tpu.pipeline import transfer_pair
 
 
 def make_batch_transfer(
-    config: Config, mesh: Mesh | None = None, mode: str = "auto"
+    config: Config, mesh: Mesh | None = None, mode: str = "auto",
+    ring_nn: bool = True,
 ):
     """Build a jitted batched transfer fn.
 
@@ -44,6 +45,11 @@ def make_batch_transfer(
       * ``"vmap"`` — element-parallel program whose batch axis can shard
         over a mesh; required for space sharding and multi-chip buckets.
       * ``"auto"`` — scan without a mesh, vmap with one.
+
+    ``ring_nn``: under space sharding, run the exact-NN levels through the
+    ring-scheduled matcher (no style-table all-gather); False keeps the
+    auto-partitioned matcher (replicates the style patch table per shard —
+    fine when it fits HBM, a memory ceiling when it doesn't).
     """
     if mode == "auto":
         mode = "scan" if mesh is None else "vmap"
@@ -66,18 +72,30 @@ def make_batch_transfer(
     # element at every step; fixed-trip scan CG keeps the batch in lockstep
     # with masked updates instead (identical results).
     config = dataclasses.replace(config, cg_dynamic=False)
-    if mesh is not None and mesh.shape.get("space", 1) > 1:
+    space_sharded = mesh is not None and mesh.shape.get("space", 1) > 1
+    if space_sharded:
         # XLA 0.9's SPMD partitioner emits a mis-typed halo-padding
         # broadcast for row-sharded bf16 convolutions (hlo_verifier
         # RET_CHECK SameElementType after spmd-partitioning); run the VGG
         # forward in f32 under space sharding — the matcher still casts
         # features to feature_dtype afterwards.
         config = dataclasses.replace(config, vgg_compute_dtype="float32")
+        if ring_nn:
+            # Route the exact-NN levels through the ring-scheduled matcher
+            # (parallel/ring_nn.py): no style-table all-gather, per-device
+            # matcher memory O(style/n_space).  See Config.space_mesh.
+            config = dataclasses.replace(config, space_mesh=mesh)
 
     def single(params, cnt, stl, key, bds_weight):
         return transfer_pair(params, cnt, stl, bds_weight, config, key=key)
 
-    batched = jax.vmap(single, in_axes=(None, 0, 0, 0, None))
+    # spmd_axis_name tells the inner shard_map (the ring matcher) that the
+    # vmapped batch dimension is the mesh's "data" axis, so its specs gain
+    # the batch sharding instead of replicating the batch per data shard.
+    batched = jax.vmap(
+        single, in_axes=(None, 0, 0, 0, None),
+        spmd_axis_name="data" if (space_sharded and ring_nn) else None,
+    )
 
     if mesh is None:
         return jax.jit(batched, static_argnums=(4,))

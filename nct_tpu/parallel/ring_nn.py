@@ -160,16 +160,14 @@ def ring_exact_nn(
             return (best_d, best_i, fb_nxt, mb_nxt), None
 
         # the scan carry becomes device-varying after the first fold
-        # (blk_id depends on axis_index); mark the constant init as such
+        # (blk_id depends on axis_index); derive the init from the shard's
+        # own operands so its varying-axes set matches in every context
+        # (plain shard_map: {axis}; under a spmd_axis_name vmap the
+        # operands additionally vary over the batch mesh axis)
+        zero = fa_chunks[:, :, 0].astype(jnp.float32) * 0.0
         init = (
-            jax.lax.pcast(
-                jnp.full((n_chunks, a_chunk), jnp.inf, jnp.float32),
-                (axis,), to="varying",
-            ),
-            jax.lax.pcast(
-                jnp.zeros((n_chunks, a_chunk), jnp.int32),
-                (axis,), to="varying",
-            ),
+            zero + jnp.inf,
+            zero.astype(jnp.int32),
             fb_s,
             mb_s,
         )
@@ -178,11 +176,17 @@ def ring_exact_nn(
         )
         return best_d.reshape(-1), best_i.reshape(-1)
 
+    # check_vma=False: under a spmd_axis_name vmap (the data x space
+    # batched pipeline) the varying-axes checker rejects mixes of
+    # {space}-varying (axis_index arithmetic) and {data, space}-varying
+    # (batched operand) values that are semantically fine — JAX's own
+    # error message names this flag as the workaround.
     mapped = jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec),
+        check_vma=False,
     )
     best_d, best_i = mapped(
         jax.lax.with_sharding_constraint(fa, NamedSharding(mesh, spec)),

@@ -105,8 +105,26 @@ def _level_match(
     use_window = (
         config.fine_strategy == "window" and l > 0 and not use_exact
     )
+    ring = (
+        config.space_mesh is not None
+        and config.space_mesh.shape.get(config.space_axis, 1) > 1
+    )
     if use_exact:
-        if _on_tpu():
+        if ring:
+            # Space-sharded execution: ring-scheduled matcher — both patch
+            # tables stay row-sharded; the style blocks stream around the
+            # ring via ppermute instead of being all-gathered per shard.
+            from nct_tpu.parallel.ring_nn import ring_exact_nn
+
+            ann, _ = ring_exact_nn(
+                fc_n, fs_n, config.space_mesh, axis=config.space_axis,
+                patch_size=config.patch_size, bf16=bf16,
+            )
+            bnn, _ = ring_exact_nn(
+                fs_n, fc_n, config.space_mesh, axis=config.space_axis,
+                patch_size=config.patch_size, bf16=bf16,
+            )
+        elif _on_tpu():
             # fused matmul+argmin Pallas kernel (~1.6x the XLA scan);
             # the distance matrix is symmetric, so ONE sweep folds both
             # the row argmin (ann) and the column argmin (bnn) — half
@@ -362,6 +380,13 @@ _level_solve_jit = functools.partial(
 # OOM-killed even by one full level of the 1000 px geometry (~665k px),
 # while the 680x452 headline level (~307k px) compiles fused.
 _STAGE_SPLIT_PIXELS = 450_000
+
+# Largest content-pixel count known safe for the FUSED whole-pipeline
+# program on the relayed TPU: the 680x452 headline (~307k px) runs fused;
+# 700x465 (~326k px) compiles but kernel-faults the worker at run time
+# (PERFORMANCE.md envelope table).  The CLI auto-switches to staged mode
+# above this; pass --no-staged to force the fused program anyway.
+FUSED_ENVELOPE_PIXELS = 320_000
 
 
 def _setup(params, cnt, stl, key, config: Config, taps):
