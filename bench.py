@@ -36,10 +36,8 @@ BASELINE_MPS = (700 * 466 / 1e6) / 2.0  # 700px pair in 2 s (BASELINE.md)
 # by capping (never upscaling) at the default, exactly like the CLI does.
 BENCH_MAX_SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 700
 BENCH_UPSCALE = len(sys.argv) > 1
-# MAX_SIZE-class geometries exceed the remote XLA service's memory when the
-# whole 5-level pipeline is fused into one program (the compiler subprocess
-# is OOM-killed); above the headline geometry, run per-level programs.
-BENCH_STAGED = "staged" in sys.argv[2:] or BENCH_MAX_SIZE > 700
+BENCH_FORCE_STAGED = "staged" in sys.argv[2:]
+BENCH_FORCE_FUSED = "fused" in sys.argv[2:]
 
 
 def _fit_to_size(img: np.ndarray, size: int) -> np.ndarray:
@@ -74,6 +72,16 @@ def load_pair():
 
 def main() -> None:
     cnt, stl = load_pair()
+    # Fused vs staged: same rule as the CLI — the fused whole-pipeline
+    # program is known-safe only below FUSED_ENVELOPE_PIXELS of content
+    # (larger fused programs kernel-fault the relayed worker or OOM the
+    # remote compile service; see pipeline.py).
+    from nct_tpu.pipeline import FUSED_ENVELOPE_PIXELS
+
+    BENCH_STAGED = not BENCH_FORCE_FUSED and (
+        BENCH_FORCE_STAGED
+        or cnt.shape[0] * cnt.shape[1] > FUSED_ENVELOPE_PIXELS
+    )
     # device_put once: numpy params would re-upload ~80 MB per call
     params = jax.device_put(vgg19.init_params())
     config = Config()
@@ -101,17 +109,47 @@ def main() -> None:
     t0 = time.perf_counter()
     float(jnp.sum(tiny))
     readout = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run()
-    dt = max(time.perf_counter() - t0 - readout, 1e-3)
+    # 3 timed reps: the relay adds ~0.5 s day-dependent jitter at the
+    # headline geometry (PERFORMANCE.md), so report the median and keep
+    # the raw reps in the JSON for the round-over-round record.
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        reps.append(max(time.perf_counter() - t0 - readout, 1e-3))
+    dt = sorted(reps)[1]
 
     mp = cnt.shape[0] * cnt.shape[1] / 1e6
     mps = mp / dt
+
+    # Sustained-throughput cross-check: ONE scan-of-4 dispatch (a single
+    # program running the fused per-pair body 4x sequentially) bounds the
+    # true device time without the per-call relay overhead credit.
+    scan_mps = None
+    if not BENCH_STAGED and os.environ.get("NCT_BENCH_SCAN", "1") != "0":
+        from nct_tpu.parallel.batch import make_batch_transfer
+
+        batch_fn = make_batch_transfer(config, mode="scan")
+        cnt_b = jnp.broadcast_to(cnt_d[None], (4,) + cnt_d.shape)
+        stl_b = jnp.broadcast_to(stl_d[None], (4,) + stl_d.shape)
+        keys = jnp.broadcast_to(key[None], (4,) + key.shape)
+        out_b = batch_fn(params, cnt_b, stl_b, keys, 2.0)
+        float(jnp.sum(out_b.astype(jnp.float32)))  # warmup compile + drain
+        t0 = time.perf_counter()
+        out_b = batch_fn(params, cnt_b, stl_b, keys, 2.0)
+        float(jnp.sum(out_b.astype(jnp.float32)))
+        scan_dt = max(time.perf_counter() - t0 - readout, 1e-3)
+        scan_mps = round(4 * mp / scan_dt, 4)
+
     print(json.dumps({
         "metric": "e2e_megapixels_per_sec",
         "value": round(mps, 4),
-        "unit": f"MP/s/chip (pair {cnt.shape[1]}x{cnt.shape[0]}, 5 levels, {dt:.2f}s)",
+        "unit": f"MP/s/chip (pair {cnt.shape[1]}x{cnt.shape[0]}, 5 levels, "
+                f"median {dt:.2f}s)",
         "vs_baseline": round(mps / BASELINE_MPS, 3),
+        "median_s": round(dt, 4),
+        "reps_s": [round(r, 4) for r in reps],
+        "scan_mps": scan_mps,
     }))
 
 

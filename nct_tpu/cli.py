@@ -50,17 +50,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", type=float, default=0.024,
                    help="Initial WLS lambda (default 0.024).")
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
-                   default="float32", help="Feature compute dtype.")
+                   default=None,
+                   help="Feature compute dtype (default: Config's "
+                        f"{Config.feature_dtype} — the benched configuration).")
     p.add_argument("--seed", type=int, default=7, help="PRNG seed.")
     p.add_argument("--size", type=int, default=None,
                    help="Override MAX_SIZE (longer-side cap, default 1000).")
     p.add_argument("--pairs-limit", type=int, default=None,
                    help="Process only the first N pairs.txt lines.")
-    p.add_argument("--staged", action="store_true",
+    p.add_argument("--staged", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="Compile each pyramid level as its own program "
                         "instead of one fused program (MAX_SIZE-class "
                         "geometries exceed the XLA service's memory when "
-                        "fused; staged also cuts first-compile latency).")
+                        "fused; staged also cuts first-compile latency). "
+                        "Default: auto — staged above the fused envelope "
+                        "(~320k content pixels), fused below.")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="Persistent XLA compilation cache dir (default "
                    "$NCT_COMPILE_CACHE or ~/.cache/nct_tpu/xla; 'none' "
@@ -77,9 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache(args.compile_cache)
 
     config = Config(
-        reverse_weight=args.bds, var_epsilon=args.eps,
+        var_epsilon=args.eps,
         nonlocal_weight=args.nl, local_weight=args.l,
-        wls_lambda_init=args.w, feature_dtype=args.dtype,
+        wls_lambda_init=args.w,
+        feature_dtype=args.dtype or Config.feature_dtype,
         max_size=args.size if args.size else Config.max_size,
     )
 
@@ -91,7 +97,10 @@ def main(argv: list[str] | None = None) -> int:
         params = vgg19.init_params()
     params = jax.device_put(params)  # upload weights once, not per pair
 
-    pairs = io.read_pairs(os.path.join(args.input, "pairs.txt"))
+    # -bds is the fallback weight for 2-field pairs.txt lines; a per-pair
+    # third field wins (ref main.cu:471-475).
+    pairs = io.read_pairs(os.path.join(args.input, "pairs.txt"),
+                          default_bds=args.bds)
     if args.pairs_limit is not None:
         pairs = pairs[: args.pairs_limit]
 
@@ -117,10 +126,22 @@ def main(argv: list[str] | None = None) -> int:
               f"style: {pair.style} {stl.shape[1]}x{stl.shape[0]}, "
               f"bds: {pair.bds_weight}")
 
+        # Auto mode: fused below the known-safe envelope, staged above it
+        # (the fused 700 px program kernel-faults the relayed worker).
+        from nct_tpu.pipeline import FUSED_ENVELOPE_PIXELS
+
+        staged = args.staged
+        if staged is None:
+            staged = cnt.shape[0] * cnt.shape[1] > FUSED_ENVELOPE_PIXELS
+            if staged:
+                print(f"auto-staged: content {cnt.shape[1]}x{cnt.shape[0]} "
+                      f"exceeds the fused envelope "
+                      f"({FUSED_ENVELOPE_PIXELS} px)")
+
         # The per-pair BDS weight rides in as a traced scalar so pairs that
         # differ only in weight (the BDS sweep) share one compiled program.
         start = time.perf_counter()
-        if args.staged:
+        if staged:
             result = transfer_pair(
                 params, cnt, stl, pair.bds_weight, config,
                 key=jax.random.PRNGKey(args.seed), staged=True,

@@ -48,18 +48,24 @@ class Pair:
     bds_weight: float
 
 
-def read_pairs(pairs_path: str) -> list[Pair]:
+def read_pairs(pairs_path: str, default_bds: float | None = None) -> list[Pair]:
     """Parse pairs.txt: whitespace-separated ``src ref bds`` per line
-    (ref main.cu:461-475)."""
+    (ref main.cu:461-475).  A 2-field line takes ``default_bds`` (the CLI's
+    ``-bds`` flag) when one is given — the reference's fscanf requires the
+    third field, so omitting it without a default stays an error."""
     pairs: list[Pair] = []
     with open(pairs_path) as f:
         for line in f:
             parts = line.split()
             if not parts:
                 continue
-            if len(parts) < 3:
+            if len(parts) >= 3:
+                bds = float(parts[2])
+            elif len(parts) == 2 and default_bds is not None:
+                bds = float(default_bds)
+            else:
                 raise ValueError(f"malformed pairs.txt line: {line!r}")
-            pairs.append(Pair(parts[0], parts[1], float(parts[2])))
+            pairs.append(Pair(parts[0], parts[1], bds))
     return pairs
 
 
