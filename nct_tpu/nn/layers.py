@@ -37,8 +37,13 @@ def _int(v, default=None):
 
 
 def _pool_out(n: int, k: int, s: int, p: int) -> int:
-    """Caffe ceil-mode pooled size (pooling_layer.cpp)."""
-    return max(-(-(n + 2 * p - k) // s) + 1, 1)
+    """Caffe ceil-mode pooled size (pooling_layer.cpp Reshape), including
+    the padded-mode clip: the last window must start strictly inside the
+    image + left pad."""
+    out = max(-(-(n + 2 * p - k) // s) + 1, 1)
+    if p and (out - 1) * s >= n + p:
+        out -= 1
+    return out
 
 
 def _nhwc_axis(axis, ndim: int) -> int:
@@ -112,37 +117,43 @@ def tanh_layer(params, cfg, x):
 @register_layer("Pooling")
 def pooling_layer(params, cfg, x):
     pp = cfg.get("pooling_param", {})
-    k = _int(pp.get("kernel_size"), 2)
-    s = _int(pp.get("stride"), 1)
-    pad = _int(pp.get("pad"), 0)
     method = str(pp.get("pool", "MAX")).upper()
-    # global pooling: kernel = spatial dims
+    # rectangular *_h/*_w fields override the square ones
+    # (pooling_layer.cpp LayerSetUp)
     if pp.get("global_pooling") in (True, "true"):
         k_h, k_w = x.shape[1], x.shape[2]
-        s = 1
+        s_h = s_w = 1
     else:
-        k_h = k_w = k
-    oh = _pool_out(x.shape[1], k_h, s, pad)
-    ow = _pool_out(x.shape[2], k_w, s, pad)
+        k = _int(pp.get("kernel_size"), 2)
+        k_h = _int(pp.get("kernel_h"), k)
+        k_w = _int(pp.get("kernel_w"), k)
+        s = _int(pp.get("stride"), 1)
+        s_h = _int(pp.get("stride_h"), s)
+        s_w = _int(pp.get("stride_w"), s)
+    pad = _int(pp.get("pad"), 0)
+    p_h = _int(pp.get("pad_h"), pad)
+    p_w = _int(pp.get("pad_w"), pad)
+    oh = _pool_out(x.shape[1], k_h, s_h, p_h)
+    ow = _pool_out(x.shape[2], k_w, s_w, p_w)
     # Caffe ceil mode: pad so strided windows cover the input
-    pad_h = max((oh - 1) * s + k_h - x.shape[1] - pad, 0)
-    pad_w = max((ow - 1) * s + k_w - x.shape[2] - pad, 0)
+    pad_h = max((oh - 1) * s_h + k_h - x.shape[1] - p_h, 0)
+    pad_w = max((ow - 1) * s_w + k_w - x.shape[2] - p_w, 0)
     if method == "AVE":
         summed = jax.lax.reduce_window(
             x, 0.0, jax.lax.add,
-            (1, k_h, k_w, 1), (1, s, s, 1),
-            ((0, 0), (pad, pad_h), (pad, pad_w), (0, 0)),
+            (1, k_h, k_w, 1), (1, s_h, s_w, 1),
+            ((0, 0), (p_h, pad_h), (p_w, pad_w), (0, 0)),
         )
         count = jax.lax.reduce_window(
             jnp.ones_like(x), 0.0, jax.lax.add,
-            (1, k_h, k_w, 1), (1, s, s, 1),
-            ((0, 0), (pad, pad_h), (pad, pad_w), (0, 0)),
+            (1, k_h, k_w, 1), (1, s_h, s_w, 1),
+            ((0, 0), (p_h, pad_h), (p_w, pad_w), (0, 0)),
         )
         return summed / count
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
-        (1, k_h, k_w, 1), (1, s, s, 1),
-        ((0, 0), (pad, pad_h), (pad, pad_w), (0, 0)),
+        (1, k_h, k_w, 1), (1, s_h, s_w, 1),
+        ((0, 0), (p_h, pad_h), (p_w, pad_w), (0, 0)),
     )
 
 
@@ -436,6 +447,67 @@ def argmax_layer(params, cfg, x):
     if ap.get("out_max_val") in (True, "true"):
         out = jnp.concatenate([out, vals], axis=-1)
     return out
+
+
+@register_layer("Embed")
+def embed_layer(params, cfg, x):
+    """Lookup-table layer (embed_layer.cpp): bottom holds integer indices
+    in [0, input_dim); top = bottom shape + (num_output,).  The weight is
+    stored [input_dim, num_output] ("transposed from InnerProductLayer",
+    embed_layer.cpp:26-30), so the forward is one row gather + bias."""
+    idx = x.astype(jnp.int32)
+    out = jnp.take(params["w"], idx, axis=0)
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+@register_layer("Tile")
+def tile_layer(params, cfg, x):
+    """Repeat the blob `tiles` times along `axis` as whole-block copies
+    (tile_layer.cpp Forward_cpu: outer x tiles x inner copy order)."""
+    tp = cfg.get("tile_param", {})
+    ax = _nhwc_axis(tp.get("axis", 1), x.ndim)
+    tiles = int(tp.get("tiles"))
+    reps = [1] * x.ndim
+    reps[ax] = tiles
+    return jnp.tile(x, reps)
+
+
+@register_layer("BatchReindex")
+def batch_reindex_layer(params, cfg, x, idx):
+    """top[i] = bottom[idx[i]] along the batch axis
+    (batch_reindex_layer.cpp Forward_cpu)."""
+    return jnp.take(x, idx.astype(jnp.int32), axis=0)
+
+
+@register_layer("SPP")
+def spp_layer(params, cfg, x):
+    """Spatial pyramid pooling (spp_layer.cpp): for level i in
+    [0, pyramid_height), pool with num_bins = 2^i uniform bins
+    (kernel = ceil(dim/bins), stride = kernel,
+    pad = (kernel*bins - dim + 1)/2 — GetPoolingParam, spp_layer.cpp:17-63),
+    flatten each pooled map in Caffe's NCHW element order and concat.
+    Output [N, C * sum_i 4^i]."""
+    sp = cfg.get("spp_param", {})
+    height = int(sp.get("pyramid_height", 1))
+    pool = str(sp.get("pool", "MAX")).upper()
+    n = x.shape[0]
+    outs = []
+    for i in range(height):
+        bins = 2 ** i
+        k_h = -(-x.shape[1] // bins)
+        k_w = -(-x.shape[2] // bins)
+        p_h = (k_h * bins - x.shape[1] + 1) // 2
+        p_w = (k_w * bins - x.shape[2] + 1) // 2
+        pcfg = {"pooling_param": {
+            "pool": pool, "kernel_h": k_h, "kernel_w": k_w,
+            "stride_h": k_h, "stride_w": k_w, "pad_h": p_h, "pad_w": p_w,
+        }}
+        pooled = pooling_layer({}, pcfg, x)[:, :bins, :bins, :]
+        # Caffe flattens the NCHW blob: (c, y, x) element order
+        outs.append(jnp.transpose(pooled, (0, 3, 1, 2)).reshape(n, -1))
+    return jnp.concatenate(outs, axis=1)
 
 
 @register_layer("Deconvolution")

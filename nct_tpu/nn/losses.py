@@ -150,6 +150,48 @@ def accuracy_layer(params, cfg, scores, labels):
     return jnp.sum(hit * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+@register_layer("ContrastiveLoss")
+def contrastive_loss_layer(params, cfg, a, b, y):
+    """Siamese-pair margin loss (contrastive_loss_layer.cpp:30-62):
+    d2 = ||a_i - b_i||^2; similar pairs (y=1) contribute d2, dissimilar
+    pairs max(margin - d, 0)^2 — or max(margin - d2, 0) with
+    legacy_version — summed over the batch and divided by 2N."""
+    cp = cfg.get("contrastive_loss_param", {}) or {}
+    margin = jnp.float32(cp.get("margin", 1.0))
+    legacy = cp.get("legacy_version") in (True, "true")
+    num = a.shape[0]
+    diff = a.reshape(num, -1).astype(jnp.float32) - \
+        b.reshape(num, -1).astype(jnp.float32)
+    d2 = jnp.sum(diff * diff, axis=1)
+    sim = (y.reshape(-1).astype(jnp.int32) != 0)
+    if legacy:
+        dis = jnp.maximum(margin - d2, 0.0)
+    else:
+        dis = jnp.maximum(margin - jnp.sqrt(d2), 0.0) ** 2
+    return jnp.sum(jnp.where(sim, d2, dis)) / (2.0 * num)
+
+
+@register_layer("InfogainLoss")
+def infogain_loss_layer(params, cfg, probs, labels, *rest):
+    """Infogain-weighted multinomial loss (infogain_loss_layer.cpp
+    Forward_cpu): loss = -sum_i sum_j H[label_i, j] * log(max(p_ij, 1e-20))
+    / N.  H comes from the optional third bottom, from params["H"] (the
+    infogain_loss_param.source matrix, loadable via numpy), or defaults to
+    identity (= MultinomialLogisticLoss)."""
+    flat = probs.reshape(probs.shape[0], -1).astype(jnp.float32)
+    lab = labels.reshape(-1).astype(jnp.int32)
+    dim = flat.shape[1]
+    if rest:
+        h = rest[0].reshape(dim, dim).astype(jnp.float32)
+    elif "H" in params:
+        h = jnp.asarray(params["H"], jnp.float32).reshape(dim, dim)
+    else:
+        h = jnp.eye(dim, dtype=jnp.float32)
+    rows = jnp.take(h, lab, axis=0)                      # [N, dim]
+    logp = jnp.log(jnp.maximum(flat, 1e-20))
+    return -jnp.sum(rows * logp) / jnp.float32(flat.shape[0])
+
+
 @register_layer("DummyData")
 def dummy_data_layer(params, cfg, *unused):
     """Filler-driven synthetic tops (dummy_data_layer.cpp).  Non-constant

@@ -235,6 +235,42 @@ class Net:
             c = bottoms[0].shape[-1]
             return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,)),
                     "scale_factor": jnp.ones(())}
+        if ltype == "Embed":
+            ep = cfg.get("embed_param", {})
+            k_dim = int(ep.get("input_dim"))
+            n_out = int(ep.get("num_output"))
+            entry = {"w": fill(k1, ep.get("weight_filler"), (k_dim, n_out),
+                               k_dim, n_out)}
+            if ep.get("bias_term", True) not in (False, "false"):
+                entry["b"] = fill(k2, ep.get("bias_filler"), (n_out,))
+            return entry
+        if ltype in ("RNN", "LSTM"):
+            rp = cfg.get("recurrent_param", {})
+            h = int(rp.get("num_output"))
+            gates = 4 * h if ltype == "LSTM" else h
+            d = 1
+            for s in bottoms[0].shape[2:]:
+                d *= s
+            wf, bf = rp.get("weight_filler"), rp.get("bias_filler")
+            k3, k4, k5 = jax.random.split(k2, 3)
+            entry = {
+                "w_x": fill(k1, wf, (d, gates), d, gates),
+                "w_h": fill(k3, wf, (h, gates), h, gates),
+                "b": fill(k4, bf, (gates,)),
+            }
+            n_state = 2 if ltype == "LSTM" else 1
+            expose = rp.get("expose_hidden") in (True, "true")
+            n_extra = len(bottoms) - 2 - (n_state if expose else 0)
+            if n_extra > 0:  # x_static bottom present
+                e = 1
+                for s in bottoms[2].shape[1:]:
+                    e *= s
+                entry["w_static"] = fill(k5, wf, (e, gates), e, gates)
+            if ltype == "RNN":
+                k6, k7 = jax.random.split(k5)
+                entry["w_o"] = fill(k6, wf, (h, h), h, h)
+                entry["b_o"] = fill(k7, bf, (h,))
+            return entry
         return {}
 
     # --- execution --------------------------------------------------------
