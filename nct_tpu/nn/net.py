@@ -49,6 +49,19 @@ class Net:
                 net_param = load_prototxt(prototxt)
         else:
             net_param = prototxt
+        # Legacy definitions (V0 nested-layer / V1 `layers` + enum types /
+        # in-data transform fields) upgrade transparently, the reference's
+        # ReadNetParamsFromTextFile flow (upgrade_proto.cpp
+        # UpgradeNetAsNeeded); modern nets pass through untouched.
+        from nct_tpu.nn.upgrade import (
+            net_needs_data_upgrade, net_needs_v0_upgrade,
+            net_needs_v1_upgrade, upgrade_net,
+        )
+
+        if (net_needs_v0_upgrade(net_param)
+                or net_needs_v1_upgrade(net_param)
+                or net_needs_data_upgrade(net_param)):
+            net_param = upgrade_net(net_param)
         self.name = net_param.get("name", "net")
         self.inputs = [str(i) for i in _as_list(net_param.get("input"))]
         # Declared input dims: `input_shape { dim: ... }` repeated per input,
@@ -235,6 +248,13 @@ class Net:
             c = bottoms[0].shape[-1]
             return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,)),
                     "scale_factor": jnp.ones(())}
+        if ltype == "Parameter":
+            pp = cfg.get("parameter_param", {}) or {}
+            shape = pp.get("shape", {})
+            dims = shape.get("dim", []) if isinstance(shape, dict) else []
+            dims = [int(d) for d in
+                    (dims if isinstance(dims, list) else [dims])]
+            return {"w": fill(k1, pp.get("filler"), tuple(dims) or (1,))}
         if ltype == "Embed":
             ep = cfg.get("embed_param", {})
             k_dim = int(ep.get("input_dim"))
