@@ -63,7 +63,12 @@ def parse_solver_prototxt(text_or_path: str) -> SolverProto:
         stepvalues=tuple(int(v) for v in _as_list(msg.get("stepvalue"))),
         max_iter=int(msg.get("max_iter", 100000)),
     )
-    type_field = str(msg.get("type", msg.get("solver_type", "SGD")))
+    # legacy solver_type enum (incl. numeric values) -> modern type string
+    # (upgrade_proto.cpp UpgradeSolverType)
+    from nct_tpu.nn.upgrade import upgrade_solver
+
+    msg = upgrade_solver(msg)
+    type_field = str(msg.get("type", "SGD"))
     opt = OptimizerParams(
         solver_type=_SOLVER_TYPES.get(type_field.upper(), "sgd"),
         momentum=float(msg.get("momentum", 0.9)),
@@ -118,26 +123,20 @@ class NetSolver:
         self.net = Net(solver.net, phase="TRAIN")
         seed = solver.random_seed if solver.random_seed >= 0 else 0
 
-        # Data layers (ImageData, HDF5Data) are host IO, not graph ops:
-        # strip them from the traced DAG and stream their tops as input
-        # batches (the reference splits the same way —
+        # Data layers (ImageData/HDF5Data/Data/WindowData) are host IO,
+        # not graph ops: strip them from the traced DAG and stream their
+        # tops as input batches (the reference splits the same way —
         # BasePrefetchingDataLayer thread vs net forward).
+        from nct_tpu.data import DATA_LAYER_TYPES, make_data_source
+
         self.data_source = None
         kept = []
         shapes = dict(input_shapes or {})
         for cfg in self.net.layers:
             ltype = str(cfg.get("type"))
-            if ltype in ("ImageData", "HDF5Data"):
-                if ltype == "ImageData":
-                    from nct_tpu.data.image_data import ImageDataSource
-
-                    self.data_source = ImageDataSource(
-                        cfg, phase="TRAIN", seed=seed)
-                else:
-                    from nct_tpu.data.hdf5_data import HDF5DataSource
-
-                    self.data_source = HDF5DataSource(
-                        cfg, phase="TRAIN", seed=seed)
+            if ltype in DATA_LAYER_TYPES:
+                self.data_source = make_data_source(
+                    cfg, phase="TRAIN", seed=seed)
                 first = tuple(self.data_source.next_batch())
                 tops = cfg.get("top")
                 tops = tops if isinstance(tops, list) else [tops]
@@ -165,17 +164,9 @@ class NetSolver:
             t_kept = []
             for cfg in self.test_net.layers:
                 ltype = str(cfg.get("type"))
-                if ltype in ("ImageData", "HDF5Data"):
-                    if ltype == "ImageData":
-                        from nct_tpu.data.image_data import ImageDataSource
-
-                        self._test_source = ImageDataSource(
-                            cfg, phase="TEST", seed=seed)
-                    else:
-                        from nct_tpu.data.hdf5_data import HDF5DataSource
-
-                        self._test_source = HDF5DataSource(
-                            cfg, phase="TEST", seed=seed)
+                if ltype in DATA_LAYER_TYPES:
+                    self._test_source = make_data_source(
+                        cfg, phase="TEST", seed=seed)
                     tops = cfg.get("top")
                     tops = tops if isinstance(tops, list) else [tops]
                     self._test_tops = [str(t) for t in tops]
