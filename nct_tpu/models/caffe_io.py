@@ -133,6 +133,52 @@ def read_caffemodel(path: str) -> dict[str, list[np.ndarray]]:
     return layers
 
 
+def _encode_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def array_to_blobproto(arr: np.ndarray, diff: np.ndarray | None = None
+                       ) -> bytes:
+    """Serialize an ndarray as BlobProto wire bytes (the pycaffe
+    io.array_to_blobproto analogue: shape field 7 + packed float data 5,
+    optional diff 6)."""
+    arr = np.asarray(arr, np.float32)
+    shape_payload = b"".join(
+        b"\x08" + _encode_varint(int(d)) for d in arr.shape)
+    out = bytearray()
+    out += b"\x3a" + _encode_varint(len(shape_payload)) + shape_payload
+    data = arr.reshape(-1).astype("<f4").tobytes()
+    out += b"\x2a" + _encode_varint(len(data)) + data     # field 5 packed
+    if diff is not None:
+        d = np.asarray(diff, np.float32).reshape(-1).astype("<f4").tobytes()
+        out += b"\x32" + _encode_varint(len(d)) + d       # field 6 packed
+    return bytes(out)
+
+
+def blobproto_to_array(payload: bytes, return_diff: bool = False
+                       ) -> np.ndarray:
+    """BlobProto wire bytes -> ndarray (pycaffe io.blobproto_to_array);
+    handles both the shape field and legacy num/channels/height/width."""
+    if not return_diff:
+        return _parse_blob(memoryview(payload))
+    shape = _parse_blob(memoryview(payload)).shape
+    chunks = []
+    for field, wire, val in iter_fields(memoryview(payload)):
+        if field == 6 and wire == _LEN:
+            chunks.append(np.frombuffer(bytes(val), dtype="<f4"))
+    diff = (np.concatenate(chunks) if chunks
+            else np.zeros(int(np.prod(shape)), np.float32))
+    return diff.reshape(shape)
+
+
 def caffemodel_to_npz(caffemodel_path: str, npz_path: str) -> list[str]:
     """Convert conv weights to HWIO npz for nct_tpu.models.vgg19.load_params.
 

@@ -449,6 +449,92 @@ def argmax_layer(params, cfg, x):
     return out
 
 
+@register_layer("Silence")
+def silence_layer(params, cfg, *xs):
+    """Consumes its bottoms and produces nothing (silence_layer.cpp —
+    suppresses unconsumed-top warnings)."""
+    return ()
+
+
+@register_layer("Parameter")
+def parameter_layer(params, cfg, *unused):
+    """Exposes its learnable blob as a top (parameter_layer.hpp) — the
+    way Caffe nets learn free variables not tied to an input."""
+    return params["w"]
+
+
+@register_layer("Im2col")
+def im2col_layer(params, cfg, x):
+    """Patch extraction as a layer (im2col_layer.cpp): output channels =
+    C * kh * kw in Caffe's (c, ky, kx) order, spatial dims strided like a
+    conv (here via an identity-weight conv-general patch gather kept as
+    plain slicing: XLA fuses it)."""
+    cp = cfg.get("convolution_param", {})
+    k = _int(cp.get("kernel_size"), 1)
+    stride = _int(cp.get("stride"), 1)
+    pad = _int(cp.get("pad"), 0)
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (w + 2 * pad - k) // stride + 1
+    cols = []
+    for ky in range(k):
+        for kx in range(k):
+            cols.append(xp[:, ky:ky + oh * stride:stride,
+                           kx:kx + ow * stride:stride, :])
+    # Caffe channel order (c, ky, kx): stack taps last, then flatten with
+    # c leading within each block
+    stacked = jnp.stack(cols, axis=-1)          # [N, oh, ow, C, k*k]
+    return stacked.reshape(n, oh, ow, c * k * k)
+
+
+@register_layer("Filter")
+def filter_layer(params, cfg, *xs):
+    """Select batch items whose selector entry is nonzero
+    (filter_layer.cpp).  The output batch size is DATA-DEPENDENT, which
+    XLA's static shapes cannot express — usable eagerly (outside jit)
+    only, like the reference's CPU-side usage in data pipelines."""
+    import numpy as np
+
+    selector = xs[-1]
+    if isinstance(selector, jax.core.Tracer):
+        raise NotImplementedError(
+            "Filter has a data-dependent output shape; run it eagerly "
+            "(outside jit) — XLA programs need static shapes")
+    keep = np.flatnonzero(np.asarray(selector).reshape(-1))
+    outs = tuple(jnp.take(x, keep, axis=0) for x in xs[:-1])
+    return outs if len(outs) > 1 else outs[0]
+
+
+@register_layer("HDF5Output")
+def hdf5_output_layer(params, cfg, data, label):
+    """Write (data, label) batches to an HDF5 file
+    (hdf5_output_layer.cpp).  The write is a host side effect, expressed
+    as jax.experimental.io_callback so it works under jit; batches append
+    as data_0/label_0, data_1/... datasets like the reference's
+    SaveBlobs."""
+    import numpy as np
+
+    file_name = str(cfg.get("hdf5_output_param", {}).get("file_name"))
+    counter = [0]
+
+    def _write(d, l):
+        import h5py
+
+        mode = "a" if counter[0] else "w"
+        with h5py.File(file_name, mode) as f:
+            f.create_dataset(f"data_{counter[0]}", data=np.asarray(d))
+            f.create_dataset(f"label_{counter[0]}", data=np.asarray(l))
+        counter[0] += 1
+        return np.zeros((), np.int32)
+
+    from jax.experimental import io_callback
+
+    io_callback(_write, jax.ShapeDtypeStruct((), jnp.int32), data, label,
+                ordered=True)
+    return ()
+
+
 @register_layer("Embed")
 def embed_layer(params, cfg, x):
     """Lookup-table layer (embed_layer.cpp): bottom holds integer indices

@@ -192,6 +192,27 @@ def infogain_loss_layer(params, cfg, probs, labels, *rest):
     return -jnp.sum(rows * logp) / jnp.float32(flat.shape[0])
 
 
+@register_layer("SmoothL1Loss")
+def smooth_l1_loss_layer(params, cfg, pred, target, *weights):
+    """Fast R-CNN bounding-box loss (smooth_l1_loss_layer.cu:10-57):
+    d = w_in * (pred - target);
+    f(d) = 0.5 (sigma d)^2 if |d| < 1/sigma^2 else |d| - 0.5/sigma^2;
+    loss = sum(w_out * f(d)) / num.  Optional bottoms 3/4 are the
+    inside/outside weights."""
+    p = cfg.get("smooth_l1_loss_param", {}) or {}
+    sigma = float(p.get("sigma", 1.0))
+    sigma2 = sigma * sigma
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    if weights:
+        d = d * weights[0].astype(jnp.float32)
+    ad = jnp.abs(d)
+    err = jnp.where(ad < 1.0 / sigma2, 0.5 * d * d * sigma2,
+                    ad - 0.5 / sigma2)
+    if len(weights) > 1:
+        err = err * weights[1].astype(jnp.float32)
+    return jnp.sum(err) / jnp.float32(pred.shape[0])
+
+
 @register_layer("DummyData")
 def dummy_data_layer(params, cfg, *unused):
     """Filler-driven synthetic tops (dummy_data_layer.cpp).  Non-constant

@@ -92,6 +92,24 @@ def rnn_layer(params, cfg, *bottoms):
     return outs
 
 
+@register_layer("LSTMUnit")
+def lstm_unit_layer(params, cfg, c_prev, gate_input, cont):
+    """Single LSTM step (lstm_unit_layer.cpp:40-62): bottoms
+    c_prev [1, N, H], gate_input [1, N, 4H] (pre-activation, order
+    i, f, o, g), cont [1, N]; tops (c [1, N, H], h [1, N, H]).
+    f is gated by cont (i = sig(X_i), f = cont * sig(X_f))."""
+    h_dim = c_prev.shape[-1]
+    i, f, o, g = jnp.split(gate_input, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = cont[..., None] * jax.nn.sigmoid(f)
+    o = jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+    assert c.shape[-1] == h_dim
+    return c, h
+
+
 @register_layer("LSTM")
 def lstm_layer(params, cfg, *bottoms):
     cfg = dict(cfg)
