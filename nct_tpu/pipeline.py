@@ -184,6 +184,93 @@ def _level_match(
     return ann, bnn, guide_bgr, bds_err, key
 
 
+def _match_search_dir(
+    params,
+    *,
+    config: Config,
+    l: int,
+    rs: int,
+    key_dir,
+    a_feat,
+    b_feat,
+    prev_field,
+):
+    """ONE search direction of a level's correspondence stage, compiled as
+    its own program — the MAX_SIZE sub-split.  At >=465x700 content the
+    combined _level_match program (two window refines + BDS vote in one
+    fusion) kernel-faults the relayed TPU worker while each constituent
+    runs fine alone (PERFORMANCE.md round-3 bisection), so MAX_SIZE-class
+    levels run search-per-direction + BDS as three smaller programs.
+    Same math as the corresponding _level_match branch; exact-NN levels
+    use the directed streaming matcher (no bidirectional fold across
+    programs)."""
+    ah, aw = a_feat.shape[0], a_feat.shape[1]
+    bh, bw = b_feat.shape[0], b_feat.shape[1]
+    fdt = jnp.bfloat16 if config.feature_dtype == "bfloat16" else jnp.float32
+    fa_n, _ = features.l2_normalize(a_feat.astype(jnp.float32))
+    fb_n, _ = features.l2_normalize(b_feat.astype(jnp.float32))
+    fa_n = fa_n.astype(fdt)
+    fb_n = fb_n.astype(fdt)
+    use_exact = l < config.exact_nn_levels
+    use_window = (
+        config.fine_strategy == "window" and l > 0 and not use_exact
+    )
+    if use_exact:
+        field, _ = exact_nn.exact_nn(fa_n, fb_n, config.patch_size)
+    elif use_window:
+        f0 = nnf.upsample(prev_field, ah, aw, bh, bw)
+        field, _ = window_refine.window_refine(
+            fa_n, fb_n, f0, config.window_radius,
+            config.window_shortlist, config.patch_size,
+        )
+    else:
+        if l == 0:
+            f0 = (jnp.asarray(prev_field) if prev_field is not None
+                  else nnf.init_scaled_identity(ah, aw, bh, bw))
+        else:
+            f0 = nnf.upsample(prev_field, ah, aw, bh, bw)
+        pm_iters = (
+            config.pm_iters_fine
+            if config.exact_nn_levels > 0 else config.pm_iters
+        )
+        field, _ = patchmatch.patchmatch(
+            fa_n, fb_n, f0, key_dir,
+            iters=pm_iters, rs_max=rs, patch_size=config.patch_size,
+        )
+    return field
+
+
+def _match_bds(
+    params, *, config: Config, bds_weight, ann, bnn, cnt_feat_l,
+    stl_feat_l, down_stl,
+):
+    """BDS guidance + feature vote + matching error as its own program
+    (the third piece of the MAX_SIZE match sub-split; same math as
+    _level_match step 3, ref main.cu:291-318)."""
+    fdt = jnp.bfloat16 if config.feature_dtype == "bfloat16" else jnp.float32
+    fs = stl_feat_l.astype(jnp.float32)
+    fc_n, _ = features.l2_normalize(cnt_feat_l.astype(jnp.float32))
+    fc_n = fc_n.astype(fdt)
+    guide_bgr = bds.bds_reconstruct_color(
+        down_stl, ann, bnn, 1.0, bds_weight, config.patch_size
+    )
+    voted_feat, _ = bds.bds_vote(
+        fs, ann, bnn, 1.0, bds_weight, config.patch_size
+    )
+    gf_n, _ = features.l2_normalize(voted_feat)
+    bds_err = features.cosine_error(fc_n, gf_n)
+    return guide_bgr, bds_err
+
+
+_match_search_dir_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l", "rs")
+)(_match_search_dir)
+
+_match_bds_jit = functools.partial(
+    jax.jit, static_argnames=("config",)
+)(_match_bds)
+
+
 def _level_solve(
     params,
     *,
@@ -375,17 +462,14 @@ _level_solve_jit = functools.partial(
     jax.jit, static_argnames=("config", "l", "numlayer", "want_trace")
 )(_level_solve)
 
-# Above this many content pixels at a level, staged mode compiles the
-# match and solve halves as separate programs: the remote XLA service is
-# OOM-killed even by one full level of the 1000 px geometry (~665k px),
-# while the 680x452 headline level (~307k px) compiles fused.
-_STAGE_SPLIT_PIXELS = 450_000
-
 # Largest content-pixel count known safe for the FUSED whole-pipeline
 # program on the relayed TPU: the 680x452 headline (~307k px) runs fused;
-# 700x465 (~326k px) compiles but kernel-faults the worker at run time
-# (PERFORMANCE.md envelope table).  The CLI auto-switches to staged mode
-# above this; pass --no-staged to force the fused program anyway.
+# 700x465 (~326k px) compiles but kernel-faults the worker at run time —
+# the fault lives in the combined _level_match program (both window
+# refines + BDS in one fusion; each constituent passes alone, round-3
+# bisection in PERFORMANCE.md).  The CLI auto-switches to staged mode
+# above this (--no-staged forces fused), and staged mode further splits
+# levels above it into search-per-direction + BDS + solve programs.
 FUSED_ENVELOPE_PIXELS = 320_000
 
 
@@ -508,18 +592,32 @@ def transfer_pair(
     for l in range(numlayer):
         t_l = time.perf_counter() if verbose else 0.0
         ah, aw = cnt_dims[l]
-        if staged and ah * aw > _STAGE_SPLIT_PIXELS:
-            # MAX_SIZE-class level: even one level's program OOMs the
-            # compile service — run the match and solve halves as two
-            # programs (same math; _level_body is exactly this pair).
-            ann, bnn, guide_bgr, bds_err, key = _level_match_jit(
-                params, config=config, l=l, rs=max(int(ranges[l]), 1),
-                bds_weight=bds_weight, key=key, ann_prev=ann, bnn_prev=bnn,
-                cnt_feat_l=cnt_feat_l, stl_feat_l=stl_feats[taps[l]],
+        if staged and ah * aw > FUSED_ENVELOPE_PIXELS:
+            # MAX_SIZE-class level: the whole _level_match program
+            # kernel-faults the relayed worker at >=465x700 content while
+            # every constituent passes alone (PERFORMANCE.md round-3
+            # bisection), and one full level OOMs the compile service at
+            # 1000 px — run search-per-direction, BDS, and solve as
+            # separate programs (same math; the pieces are the fused
+            # trace's own sub-expressions).
+            key, k_ab, k_ba = jax.random.split(key, 3)
+            stl_feat_l = stl_feats[taps[l]]
+            rs_l = max(int(ranges[l]), 1)
+            ann = _match_search_dir_jit(
+                params, config=config, l=l, rs=rs_l, key_dir=k_ab,
+                a_feat=cnt_feat_l, b_feat=stl_feat_l, prev_field=ann,
+            )
+            bnn = _match_search_dir_jit(
+                params, config=config, l=l, rs=rs_l, key_dir=k_ba,
+                a_feat=stl_feat_l, b_feat=cnt_feat_l, prev_field=bnn,
+            )
+            guide_bgr, bds_err = _match_bds_jit(
+                params, config=config, bds_weight=bds_weight, ann=ann,
+                bnn=bnn, cnt_feat_l=cnt_feat_l, stl_feat_l=stl_feat_l,
                 down_stl=stl_pyr[l],
             )
             if verbose:
-                _sync(ann)
+                _sync(bds_err)
                 print(f"[staged] L{l} match {time.perf_counter() - t_l:.1f}s",
                       flush=True)
                 t_l = time.perf_counter()

@@ -125,3 +125,27 @@ def test_staged_matches_fused(tiny_setup):
     # spatially uniform (no boundary artefacts), mean ~0.8 LSB, max ~6
     assert (diff <= 2).mean() >= 0.95, (diff > 2).mean()
     assert diff.mean() <= 1.0, diff.mean()
+
+
+def test_staged_subsplit_matches_staged(tiny_setup, monkeypatch):
+    """The MAX_SIZE sub-split (search-per-direction + BDS + solve as
+    separate programs — the fix for the >=465x700 _level_match kernel
+    fault, PERFORMANCE.md round 3) must agree with whole-level staged
+    programs.  Forced on at every level by shrinking the envelope."""
+    import dataclasses
+
+    from nct_tpu import pipeline
+
+    params, cnt, stl, config = tiny_setup
+    config = dataclasses.replace(config, feature_dtype="float32")
+    key = jax.random.PRNGKey(0)
+    whole = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key, staged=True)
+    ).astype(int)
+    monkeypatch.setattr(pipeline, "FUSED_ENVELOPE_PIXELS", 0)
+    split = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key, staged=True)
+    ).astype(int)
+    diff = np.abs(whole - split)
+    assert (diff <= 2).mean() >= 0.95, (diff > 2).mean()
+    assert diff.mean() <= 1.0, diff.mean()
