@@ -144,12 +144,18 @@ def pooling_layer(params, cfg, x):
             (1, k_h, k_w, 1), (1, s_h, s_w, 1),
             ((0, 0), (p_h, pad_h), (p_w, pad_w), (0, 0)),
         )
-        count = jax.lax.reduce_window(
-            jnp.ones_like(x), 0.0, jax.lax.add,
-            (1, k_h, k_w, 1), (1, s_h, s_w, 1),
-            ((0, 0), (p_h, pad_h), (p_w, pad_w), (0, 0)),
-        )
-        return summed / count
+        # Caffe's AVE divisor counts PADDING cells: pool_size =
+        # (hend - hstart) * (wend - wstart) with hend clipped at
+        # height + pad BEFORE the [0, height) clip (pooling_layer.cpp:
+        # 197-212) — so border windows divide by the padded window area,
+        # not by the number of real elements summed.
+        def _caffe_count(n_out, k, s, p, dim):
+            start = jnp.arange(n_out, dtype=jnp.float32) * s - p
+            end = jnp.minimum(start + k, dim + p)
+            return end - start
+        cnt_h = _caffe_count(oh, k_h, s_h, p_h, x.shape[1])
+        cnt_w = _caffe_count(ow, k_w, s_w, p_w, x.shape[2])
+        return summed / (cnt_h[:, None] * cnt_w[None, :])[None, :, :, None]
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         (1, k_h, k_w, 1), (1, s_h, s_w, 1),
@@ -180,11 +186,29 @@ def dropout_layer(params, cfg, x):
 
 @register_layer("LRN")
 def lrn_layer(params, cfg, x):
+    """lrn_layer.cpp.  ACROSS_CHANNELS is the classic AlexNet response
+    norm over the channel axis; WITHIN_CHANNEL is the spatial (local
+    contrast) variant the reference composes from square -> AVE-pool ->
+    power -> product (lrn_layer.cpp:17-66, WithinChannelForward :155-162)
+    — the layer_factory routes it to CuDNNLCNLayer on GPU builds
+    (cudnn_lcn_layer.cpp), so this branch is also the LCN analogue."""
     lp = cfg.get("lrn_param", {})
     local_size = _int(lp.get("local_size"), 5)
     alpha = float(lp.get("alpha", 1.0))
     beta = float(lp.get("beta", 0.75))
     half = local_size // 2
+    region = str(lp.get("norm_region", "ACROSS_CHANNELS")).upper()
+    if region == "WITHIN_CHANNEL":
+        # avg-pool of x^2 over a local_size window at stride 1, same pad
+        # (the reference stacks its own Pooling layer the same way); then
+        # (1 + alpha * s)^-beta with s the window MEAN of squares.
+        pooled = pooling_layer(
+            {},
+            {"pooling_param": {"pool": "AVE", "kernel_size": local_size,
+                               "stride": 1, "pad": half}},
+            x * x,
+        )
+        return x * (1.0 + alpha * pooled) ** (-beta)
     sq = x * x
     pad = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (half, half)))
     acc = jnp.zeros_like(x)

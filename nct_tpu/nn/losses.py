@@ -33,9 +33,16 @@ import jax.numpy as jnp
 from nct_tpu.nn.fillers import fill
 from nct_tpu.nn.layers import register_layer, _nhwc_axis
 
-# Types whose tops receive an implicit loss_weight of 1 (net.cpp AppendTop:
-# any layer whose type name ends in "Loss").
+# Types whose top[0] receives an implicit loss_weight of 1.  In the
+# reference this is "derives from LossLayer" (loss_layer.cpp sets
+# set_loss(0, 1)); name-wise that is every type containing "Loss" — the
+# R-FCN OHEM losses end in "LossOHEM", not "Loss" (box_annotator is NOT a
+# loss layer and contains no "Loss").
 LOSS_SUFFIX = "Loss"
+
+
+def is_loss_type(ltype: str) -> bool:
+    return LOSS_SUFFIX in ltype
 
 
 def _loss_param(cfg):
@@ -211,6 +218,65 @@ def smooth_l1_loss_layer(params, cfg, pred, target, *weights):
     if len(weights) > 1:
         err = err * weights[1].astype(jnp.float32)
     return jnp.sum(err) / jnp.float32(pred.shape[0])
+
+
+@register_layer("SmoothL1LossOHEM")
+def smooth_l1_loss_ohem_layer(params, cfg, pred, target, *weights):
+    """R-FCN OHEM variant (smooth_L1_loss_ohem_layer.cu:47-85): fixed
+    sigma=1 smooth-L1 with an optional single weights bottom multiplied
+    into the diff, LossParameter normalization modes (incl. PRE_FIXED),
+    and a second top carrying the per-position channel-summed loss
+    [N, H, W, 1] that BoxAnnotatorOHEM ranks."""
+    lp = cfg.get("loss_param", {}) or {}
+    norm = lp.get("normalization")
+    if norm is None and "normalize" in lp:
+        norm = "VALID" if lp.get("normalize") else "BATCH_SIZE"
+    norm = str(norm or "VALID").upper()
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    if weights:
+        d = d * weights[0].astype(jnp.float32)
+    ad = jnp.abs(d)
+    err = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+    outer = pred.shape[0]
+    inner = int(pred.size // (outer * pred.shape[-1]))  # H*W (NHWC)
+    if norm == "BATCH_SIZE":
+        n = float(outer)
+    elif norm == "PRE_FIXED":
+        n = float(lp.get("pre_fixed_normalizer", 1.0))
+    elif norm == "NONE":
+        n = 1.0
+    else:  # FULL and VALID both normalize by outer*inner (ref :67-72)
+        n = float(outer * inner)
+    loss = jnp.sum(err) / max(n, 1.0)
+    per_position = jnp.sum(err, axis=-1, keepdims=True)
+    return loss, per_position
+
+
+@register_layer("SoftmaxWithLossOHEM")
+def softmax_with_loss_ohem_layer(params, cfg, scores, labels):
+    """R-FCN OHEM softmax loss (softmax_loss_ohem_layer.cu:30-68): the
+    SoftmaxWithLoss math plus two extra tops — the softmax probabilities
+    (top[1] shares prob_, :62) and the per-position unnormalized NLL map
+    (top[2], :66-67; zero at ignored labels) that BoxAnnotatorOHEM ranks."""
+    ignore, norm = _loss_param(cfg)
+    ax = _class_axis(cfg, scores.ndim, "softmax_param")
+    flat, lab = _flat_scores_labels(scores, labels, ax)
+    logp = jax.nn.log_softmax(flat.astype(jnp.float32), axis=-1)
+    safe_lab = jnp.clip(lab, 0, flat.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe_lab[:, None], axis=-1)[:, 0]
+    if ignore is not None:
+        mask = (lab != ignore).astype(jnp.float32)
+    else:
+        mask = jnp.ones_like(nll)
+    outer = scores.shape[0]
+    inner = nll.shape[0] // outer
+    loss = jnp.sum(nll * mask) / _normalizer(norm, jnp.sum(mask),
+                                             outer, inner)
+    prob = jnp.moveaxis(
+        jnp.exp(logp).reshape(
+            jnp.moveaxis(scores, ax, -1).shape), -1, ax)
+    per_position = (nll * mask).reshape(labels.shape)
+    return loss, prob, per_position
 
 
 @register_layer("DummyData")

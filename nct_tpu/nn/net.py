@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nct_tpu.nn.layers import LAYER_REGISTRY
+from nct_tpu.nn.losses import is_loss_type
 from nct_tpu.nn.prototxt import load_prototxt, parse_prototxt
 
 
@@ -356,7 +357,7 @@ class Net:
             for j, t in enumerate(tops):
                 if j < len(weights):
                     w = float(weights[j])
-                elif ltype.endswith("Loss") and j == 0:
+                elif is_loss_type(ltype) and j == 0:
                     w = 1.0
                 else:
                     w = 0.0

@@ -1,8 +1,9 @@
-"""R-FCN / detection vision ops: ROIPooling and PSROIPooling.
+"""R-FCN / detection vision ops: ROIPooling, PSROIPooling, BoxAnnotatorOHEM.
 
 Rebuilds the Microsoft-fork detection layers (reference:
 src/caffe/layers/roi_pooling_layer.cpp — Fast R-CNN max ROI pooling —
-and psroi_pooling_layer.cu — R-FCN position-sensitive average pooling).
+psroi_pooling_layer.cu — R-FCN position-sensitive average pooling — and
+box_annotator_ohem_layer.cu — online hard example mining).
 
 TPU-native shape: the reference assigns one CUDA thread per output bin
 walking a dynamic [hstart, hend) x [wstart, wend) region.  Dynamic
@@ -119,3 +120,51 @@ def psroi_pooling_layer(params, cfg, x, rois):
 
     out = jax.vmap(one)(rois.astype(jnp.float32))   # [R, K, gs, gs]
     return jnp.transpose(out, (0, 2, 3, 1))         # NHWC [R, gs, gs, K]
+
+
+@register_layer("BoxAnnotatorOHEM")
+def box_annotator_ohem_layer(params, cfg, rois, per_roi_loss, labels,
+                             bbox_loss_weights):
+    """R-FCN online hard example mining (box_annotator_ohem_layer.cu:16-75):
+    keep the ``roi_per_img`` highest-loss ROIs of each image; everything
+    else gets label = ignore_label and zero bbox loss weights.
+
+    Bottoms (NHWC): rois [N, H, W, 5] (channel 0 = image batch index),
+    per-ROI loss [N, H, W, 1], labels [N, H, W, 1], bbox loss weights
+    [N, H, W, C].  Tops: (hard-example labels, gated bbox weights).
+
+    TPU-native selection: the reference sorts index arrays on the host and
+    walks them with per-image countdown counters.  Here the per-image rank
+    is computed with static shapes only — sort ROIs by loss (descending),
+    then stably sort that order by image id so each image's ROIs are
+    contiguous *in loss order*; the rank within the contiguous group is
+    ``arange - cummax(group-start)``, and rank < roi_per_img is the keep
+    mask (scattered back through the composed permutation, which is
+    bijective, so the scatter has unique indices)."""
+    p = cfg.get("box_annotator_ohem_param", {}) or {}
+    roi_per_img = int(p.get("roi_per_img"))
+    ignore_label = float(p.get("ignore_label", -1))
+
+    r = int(rois.size // rois.shape[-1])
+    batch_ind = rois[..., 0].reshape(r).astype(jnp.int32)
+    loss = per_roi_loss.reshape(r).astype(jnp.float32)
+
+    order = jnp.argsort(-loss, stable=True)            # loss desc
+    b_ord = jnp.take(batch_ind, order)
+    order2 = jnp.argsort(b_ord, stable=True)           # group by image,
+    b_sorted = jnp.take(b_ord, order2)                 # loss order kept
+    idx = jnp.arange(r, dtype=jnp.int32)
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), b_sorted[1:] != b_sorted[:-1]])
+    group_start = jax.lax.cummax(jnp.where(change, idx, 0))
+    keep_sorted = (idx - group_start) < roi_per_img
+    orig = jnp.take(order, order2)                     # composed permutation
+    keep = jnp.zeros((r,), bool).at[orig].set(keep_sorted, unique_indices=True)
+
+    keep_l = keep.reshape(labels.shape)
+    top_labels = jnp.where(
+        keep_l, labels, jnp.full_like(labels, ignore_label))
+    keep_w = keep.reshape(labels.shape[:-1] + (1,))
+    top_weights = jnp.where(keep_w, bbox_loss_weights,
+                            jnp.zeros_like(bbox_loss_weights))
+    return top_labels, top_weights

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 
 import jax
 
+from nct_tpu.nn.losses import is_loss_type
 from nct_tpu.nn.net import Net
 from nct_tpu.nn.prototxt import load_prototxt, parse_prototxt
 from nct_tpu.train.lr_policies import LrPolicy
@@ -185,7 +186,7 @@ class NetSolver:
             ltype = str(cfg.get("type"))
             tops = cfg.get("top")
             tops = tops if isinstance(tops, list) else [tops]
-            if ltype.endswith("Loss") or ltype == "Accuracy":
+            if is_loss_type(ltype) or ltype == "Accuracy":
                 score_tops.extend(str(t) for t in tops)
         if not score_tops:
             return {}

@@ -352,6 +352,13 @@ def _grad_cases():
             r.standard_normal((3, 4)).astype(np.float32)),
         "InfogainLoss": (lambda v: L["InfogainLoss"](
             {}, {}, jax.nn.softmax(v, axis=-1), lab, ig_h), x2),
+        "LRN_within": (lambda v: sq(L["LRN"](
+            {}, {"lrn_param": {"norm_region": "WITHIN_CHANNEL",
+                               "local_size": 3}}, v)), x),
+        "SmoothL1LossOHEM": (lambda v: L["SmoothL1LossOHEM"](
+            {}, {}, v, jnp.zeros_like(v))[0], x2),
+        "SoftmaxWithLossOHEM": (lambda v: L["SoftmaxWithLossOHEM"](
+            {}, {}, v, lab)[0], x2),
     }
     return cases
 

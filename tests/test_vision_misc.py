@@ -204,3 +204,135 @@ def test_memory_data_source(rng):
     np.testing.assert_allclose(l3, [0, 1])
     with pytest.raises(ValueError):
         src.reset(data[:3], labels[:3])  # 3 % 2 != 0
+
+
+# ---------------------------------------------------------------------------
+# R-FCN OHEM trio + LRN WITHIN_CHANNEL (op-library completion, round 3)
+# ---------------------------------------------------------------------------
+
+def _np_box_annotator_ohem(rois, loss, labels, bbox_w, roi_per_img,
+                           ignore_label):
+    """box_annotator_ohem_layer.cu:16-75 host loop, NHWC blobs."""
+    n, h, w, _ = rois.shape
+    r = n * h * w
+    b = rois[..., 0].reshape(r).astype(int)
+    l = loss.reshape(r)
+    top_labels = np.full_like(labels, ignore_label)
+    top_w = np.zeros_like(bbox_w)
+    order = sorted(range(r), key=lambda i: -l[i])
+    left = {}
+    for i in order:
+        bi = b[i]
+        left.setdefault(bi, roi_per_img)
+        if left[bi] > 0:
+            left[bi] -= 1
+            ni, rem = divmod(i, h * w)
+            hi, wi = divmod(rem, w)
+            top_labels[ni, hi, wi, 0] = labels[ni, hi, wi, 0]
+            top_w[ni, hi, wi, :] = bbox_w[ni, hi, wi, :]
+    return top_labels, top_w
+
+
+def test_box_annotator_ohem_matches_reference_loop(rng):
+    n, h, w, c = 8, 2, 3, 4
+    rois = np.zeros((n, h, w, 5), np.float32)
+    rois[..., 0] = rng.integers(0, 2, size=(n, h, w))  # 2 images
+    loss = rng.standard_normal((n, h, w, 1)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(n, h, w, 1)).astype(np.float32)
+    bbox_w = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    cfg = {"box_annotator_ohem_param": {"roi_per_img": 3,
+                                        "ignore_label": -1}}
+    got_l, got_w = LAYER_REGISTRY["BoxAnnotatorOHEM"](
+        {}, cfg, jnp.asarray(rois), jnp.asarray(loss), jnp.asarray(labels),
+        jnp.asarray(bbox_w))
+    want_l, want_w = _np_box_annotator_ohem(
+        rois, loss, labels, bbox_w, 3, -1)
+    np.testing.assert_allclose(np.asarray(got_l), want_l)
+    np.testing.assert_allclose(np.asarray(got_w), want_w)
+    # keeps exactly roi_per_img per image (both images have >3 rois here)
+    assert int((np.asarray(got_l) != -1).sum()) == 6
+
+
+def test_smooth_l1_ohem_loss_and_per_position(rng):
+    pred = rng.standard_normal((2, 3, 3, 4)).astype(np.float32) * 2
+    tgt = rng.standard_normal((2, 3, 3, 4)).astype(np.float32)
+    wts = rng.random((2, 3, 3, 4)).astype(np.float32)
+    d = (pred - tgt) * wts
+    err = np.where(np.abs(d) < 1, 0.5 * d * d, np.abs(d) - 0.5)
+    loss, per = LAYER_REGISTRY["SmoothL1LossOHEM"](
+        {}, {}, jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(wts))
+    # default normalization VALID == outer * inner (ref get_normalizer)
+    np.testing.assert_allclose(float(loss), err.sum() / (2 * 9), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(per)[..., 0], err.sum(axis=-1), rtol=1e-5)
+    loss_pf, _ = LAYER_REGISTRY["SmoothL1LossOHEM"](
+        {}, {"loss_param": {"normalization": "PRE_FIXED",
+                            "pre_fixed_normalizer": 7.0}},
+        jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(wts))
+    np.testing.assert_allclose(float(loss_pf), err.sum() / 7.0, rtol=1e-5)
+
+
+def test_softmax_ohem_matches_softmax_loss_plus_tops(rng):
+    scores = rng.standard_normal((2, 3, 3, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(2, 3, 3, 1)).astype(np.float32)
+    labels[0, 0, 0, 0] = -1
+    cfg = {"loss_param": {"ignore_label": -1}}
+    loss, prob, per = LAYER_REGISTRY["SoftmaxWithLossOHEM"](
+        {}, cfg, jnp.asarray(scores), jnp.asarray(labels))
+    base = LAYER_REGISTRY["SoftmaxWithLoss"](
+        {}, cfg, jnp.asarray(scores), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), float(base), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(prob), jax.nn.softmax(scores, axis=-1), rtol=1e-5)
+    assert per.shape == labels.shape
+    assert float(per[0, 0, 0, 0]) == 0.0  # ignored position contributes 0
+    p = jax.nn.softmax(scores, axis=-1)
+    want = -np.log(p[1, 2, 2, int(labels[1, 2, 2, 0])])
+    np.testing.assert_allclose(float(per[1, 2, 2, 0]), want, rtol=1e-5)
+
+
+def test_loss_tops_cover_ohem_types():
+    from nct_tpu.nn.losses import is_loss_type
+    assert is_loss_type("SmoothL1LossOHEM")
+    assert is_loss_type("SoftmaxWithLossOHEM")
+    assert not is_loss_type("BoxAnnotatorOHEM")
+
+
+def _np_caffe_ave_pool(x, k, s, p):
+    """pooling_layer.cpp:190-213 AVE loop (divisor counts pad cells)."""
+    n, h, w, c = x.shape
+    oh = int(np.ceil((h + 2 * p - k) / s)) + 1
+    ow = int(np.ceil((w + 2 * p - k) / s)) + 1
+    out = np.zeros((n, oh, ow, c), np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            hs, ws = i * s - p, j * s - p
+            he, we = min(hs + k, h + p), min(ws + k, w + p)
+            size = (he - hs) * (we - ws)
+            hs2, ws2 = max(hs, 0), max(ws, 0)
+            he2, we2 = min(he, h), min(we, w)
+            out[:, i, j] = x[:, hs2:he2, ws2:we2].sum(axis=(1, 2)) / size
+    return out
+
+
+def test_ave_pooling_padded_divisor_matches_caffe(rng):
+    x = rng.standard_normal((2, 5, 6, 3)).astype(np.float32)
+    got = LAYER_REGISTRY["Pooling"](
+        {}, {"pooling_param": {"pool": "AVE", "kernel_size": 3,
+                               "stride": 2, "pad": 1}}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), _np_caffe_ave_pool(x, 3, 2, 1), rtol=1e-5)
+
+
+def test_lrn_within_channel_matches_composite(rng):
+    """WithinChannelForward == square -> Caffe-AVE-pool -> power -> product
+    (lrn_layer.cpp:17-66); also covers the cudnn LCN dispatch."""
+    x = rng.standard_normal((2, 5, 5, 4)).astype(np.float32)
+    alpha, beta, size = 2.0, 0.75, 3
+    got = LAYER_REGISTRY["LRN"](
+        {}, {"lrn_param": {"norm_region": "WITHIN_CHANNEL",
+                           "local_size": size, "alpha": alpha,
+                           "beta": beta}}, jnp.asarray(x))
+    pooled = _np_caffe_ave_pool(x * x, size, 1, size // 2)
+    want = x * (1.0 + alpha * pooled) ** (-beta)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)

@@ -56,6 +56,7 @@ def cmd_test(args) -> int:
     import jax
     import numpy as np
     from nct_tpu.nn import Net
+    from nct_tpu.nn.losses import is_loss_type
 
     net = Net(args.model, phase="TEST")
     if args.weights:
@@ -73,7 +74,7 @@ def cmd_test(args) -> int:
     score_tops = [t for cfg in net.layers
                   for t in ([cfg.get("top")] if not isinstance(
                       cfg.get("top"), list) else cfg.get("top"))
-                  if str(cfg.get("type")).endswith("Loss")
+                  if is_loss_type(str(cfg.get("type")))
                   or str(cfg.get("type")) == "Accuracy"]
     score_tops = [str(t) for t in score_tops]
     if not score_tops:
