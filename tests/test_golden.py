@@ -116,6 +116,39 @@ def test_golden_all_pairs(golden_setup):
     assert not bad, f"pairs regressing past the in0 threshold: {bad}"
 
 
+@pytest.mark.skipif(
+    not (WEIGHTS and RUN_FULL),
+    reason="strict 9-golden gate needs NCT_VGG_WEIGHTS + NCT_GOLDEN_FULL=1",
+)
+@pytest.mark.parametrize(
+    "src,ref,wgt",
+    [("in0", "tar0", 2.0), ("in1", "tar1", 2.0), ("in2", "tar2", 2.0),
+     ("in3", "tar3", 2.0), ("in4", "tar4", 0.0), ("in4", "tar4", 1.0),
+     ("in4", "tar4", 2.0), ("in4", "tar4", 4.0), ("in4", "tar4", 8.0)],
+)
+def test_golden_strict_all_nine(golden_setup, src, ref, wgt):
+    """The full fidelity contract: SSIM >= 0.98 against every golden the
+    reference publishes (demo/example/pairs.txt — 5 pairs at bds=2 plus
+    the in4/tar4 BDS sweep {0,1,2,4,8}), at the reference's own
+    resolution rule (aspect-preserving cap at MAX_SIZE=1000,
+    main.cu:499-522).  One command arms it (README "Tests & benchmarks")."""
+    from nct_tpu.pipeline import FUSED_ENVELOPE_PIXELS
+
+    params = golden_setup
+    cnt = cap_max_size(imread_bgr(os.path.join(EXAMPLE, f"in/{src}.png")),
+                       1000)
+    stl = cap_max_size(imread_bgr(os.path.join(EXAMPLE, f"in/{ref}.png")),
+                       1000)
+    gold = imread_bgr(
+        os.path.join(EXAMPLE, f"res/{src}_{ref}_{wgt:.2f}.png"))
+    staged = cnt.shape[0] * cnt.shape[1] > FUSED_ENVELOPE_PIXELS
+    out = np.asarray(
+        transfer_pair(params, cnt, stl, float(wgt), Config(),
+                      key=jax.random.PRNGKey(7), staged=staged))
+    assert out.shape == gold.shape
+    assert ssim(out, gold) >= 0.98
+
+
 def test_bds_sweep_monotone(golden_setup):
     """The BDS "completeness" knob must act monotonically: raising the
     reverse-vote weight moves the output monotonically away from the
