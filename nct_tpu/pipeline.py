@@ -271,33 +271,17 @@ _match_bds_jit = functools.partial(
 )(_match_bds)
 
 
-def _level_solve(
-    params,
-    *,
-    config: Config,
-    l: int,
-    numlayer: int,
-    want_trace: bool,
-    key,
-    ann,
-    bnn,
-    guide_bgr,
-    bds_err,
-    prev_ab,
-    down_cnt,
-    cnt_lab_unit,
-    label_map,
-    membership,
+def _solve_graph(
+    *, config: Config, l: int, key, down_cnt, guide_bgr, bds_err,
+    label_map, membership,
 ):
-    """Steps 4-9 of a pyramid level: k-NN graph, patch moments, nonlocal +
-    WLS solves, apply, progressive feature re-extraction (ref main.cu
-    :351-428).  Returns the level's carry tuple."""
-    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
+    """Steps 4-5 of a pyramid level: semantic k-NN graph on down-res Lab
+    (ref main.cu:351-359) + patch moments -> (a, b) init + confidence
+    (ref :368-378, 1194-1357).  First piece of the MAX_SIZE solve
+    sub-split — the combined _level_solve program at 1000 px-class
+    geometries never returns from the remote compile service, so MAX_SIZE
+    levels run graph / nonlocal / finish as three smaller programs."""
     ah, aw = down_cnt.shape[0], down_cnt.shape[1]
-    taps = tuple(config.vgg_layers())
-    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
-
-    # 4. semantic k-NN graph on down-res Lab (ref :351-359)
     cnt_lab_u8 = bgr_u8_to_lab_u8(down_cnt)
     cnt_lab_d = cnt_lab_u8.astype(jnp.float32) / 255.0
     stride = 2 ** l
@@ -318,20 +302,28 @@ def _level_solve(
         cnt_lab_d, pixel_labels, candidates, k_num=config.k_num
     )
 
-    # 5. patch moments -> (a, b) init + confidence (ref :368-378, 1194-1357)
     guide_lab_u8 = bgr_u8_to_lab_u8(guide_bgr)
     guide_lab_d = guide_lab_u8.astype(jnp.float32) / 255.0
     a0, b0 = stats.init_ab(
         cnt_lab_u8, guide_lab_u8, config.patch_size, config.var_epsilon
     )
     confidence = stats.error_confidence(bds_err)
+    return (nbr_ids, nbr_w, nbr_slots, candidates, a0, b0, confidence,
+            cnt_lab_d, guide_lab_d, key)
 
-    # 6. nonlocal solve at down-res (ref ColorTransfer.cpp:548-949).
-    # CG start: the previous level's SOLVED coefficients upsampled —
-    # the system is SPD so the solution is x0-independent, but the
-    # warm start converges in far fewer iterations than the
-    # reference's patch-stat init (its Rab, :630-636), which we keep
-    # for level 0.
+
+def _solve_nl(
+    *, config: Config, l: int, numlayer: int, full_hw: tuple,
+    a0, b0, prev_ab, cnt_lab_d, guide_lab_d, confidence,
+    nbr_ids, nbr_w, nbr_slots, candidates,
+):
+    """Step 6: nonlocal solve at down-res (ref ColorTransfer.cpp:548-949).
+    CG start: the previous level's SOLVED coefficients upsampled — the
+    system is SPD so the solution is x0-independent, but the warm start
+    converges in far fewer iterations than the reference's patch-stat
+    init (its Rab, :630-636), which we keep for level 0."""
+    h, w = full_hw
+    ah, aw = cnt_lab_d.shape[0], cnt_lab_d.shape[1]
     if prev_ab is not None:
         a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
         b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
@@ -354,9 +346,25 @@ def _level_solve(
         precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
         in_cap=config.nl_in_cap,
     )
-    prev_ab = (a_d, b_d)
+    return a_d, b_d
 
-    # 7. upsample coefficients + WLS at full res (ref :1376-1429)
+
+def _solve_finish(
+    params, *, config: Config, l: int, numlayer: int,
+    a_d, b_d, cnt_lab_unit,
+):
+    """Steps 7-9: coefficient upsample + WLS at full res (ref :1376-1429),
+    apply + convert (ref :1436-1477), progressive feature re-extraction
+    (ref main.cu:424-427).  The reference re-extracts all 5 taps every
+    level but only ever reads tap l+1 from the l-th re-extraction;
+    extracting just that tap turns the re-extraction cost from 4 full
+    forwards into progressively SHALLOWER ones (conv1_1 re-extraction is
+    a single conv)."""
+    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
+    ah, aw = a_d.shape[0], a_d.shape[1]
+    taps = tuple(config.vgg_layers())
+    vgg_bf16 = (config.vgg_compute_dtype or config.feature_dtype) == "bfloat16"
+    norm_factor = float(h * w) / float(ah * aw)
     a_up = resize.resize_bilinear(a_d, h, w)
     b_up = resize.resize_bilinear(b_d, h, w)
     lam = config.wls_lambda_init * norm_factor
@@ -368,9 +376,60 @@ def _level_solve(
         dynamic=config.cg_dynamic,
     )
 
-    # 8. apply + convert (ref :1436-1477)
     res_lab = apply_transform(a_f, b_f, cnt_lab_unit)
     refined = unit_lab_to_bgr_u8(res_lab)
+
+    cnt_feat_next = None
+    if l < numlayer - 1:
+        cnt_feat_next = vgg19.features_jit(
+            params, refined, (taps[l + 1],), vgg_bf16
+        )[taps[l + 1]]
+    return refined, cnt_feat_next, a_f, b_f
+
+
+def _level_solve(
+    params,
+    *,
+    config: Config,
+    l: int,
+    numlayer: int,
+    want_trace: bool,
+    key,
+    ann,
+    bnn,
+    guide_bgr,
+    bds_err,
+    prev_ab,
+    down_cnt,
+    cnt_lab_unit,
+    label_map,
+    membership,
+):
+    """Steps 4-9 of a pyramid level: k-NN graph, patch moments, nonlocal +
+    WLS solves, apply, progressive feature re-extraction (ref main.cu
+    :351-428).  Composition of _solve_graph / _solve_nl / _solve_finish
+    (the MAX_SIZE sub-split pieces trace the same code).  Returns the
+    level's carry tuple."""
+    h, w = cnt_lab_unit.shape[0], cnt_lab_unit.shape[1]
+
+    (nbr_ids, nbr_w, nbr_slots, candidates, a0, b0, confidence,
+     cnt_lab_d, guide_lab_d, key) = _solve_graph(
+        config=config, l=l, key=key, down_cnt=down_cnt,
+        guide_bgr=guide_bgr, bds_err=bds_err, label_map=label_map,
+        membership=membership,
+    )
+    a_d, b_d = _solve_nl(
+        config=config, l=l, numlayer=numlayer, full_hw=(h, w),
+        a0=a0, b0=b0, prev_ab=prev_ab, cnt_lab_d=cnt_lab_d,
+        guide_lab_d=guide_lab_d, confidence=confidence,
+        nbr_ids=nbr_ids, nbr_w=nbr_w, nbr_slots=nbr_slots,
+        candidates=candidates,
+    )
+    prev_ab = (a_d, b_d)
+    refined, cnt_feat_next, a_f, b_f = _solve_finish(
+        params, config=config, l=l, numlayer=numlayer,
+        a_d=a_d, b_d=b_d, cnt_lab_unit=cnt_lab_unit,
+    )
 
     tr = None
     if want_trace:
@@ -380,16 +439,6 @@ def _level_solve(
             "refined": refined,
         }
 
-    # 9. progressive feedback (ref main.cu:424-427).  The reference
-    # re-extracts all 5 taps every level but only ever reads tap l+1
-    # from the l-th re-extraction; extracting just that tap turns the
-    # re-extraction cost from 4 full forwards into progressively
-    # SHALLOWER ones (conv1_1 re-extraction is a single conv).
-    cnt_feat_next = None
-    if l < numlayer - 1:
-        cnt_feat_next = vgg19.features_jit(
-            params, refined, (taps[l + 1],), vgg_bf16
-        )[taps[l + 1]]
     # Barrier the cross-level state: in the fully-fused program XLA's
     # scheduler may otherwise hoist later levels' large intermediates
     # (patchified features, pallas operands) to overlap earlier ones,
@@ -461,6 +510,22 @@ _level_match_jit = functools.partial(
 _level_solve_jit = functools.partial(
     jax.jit, static_argnames=("config", "l", "numlayer", "want_trace")
 )(_level_solve)
+
+# MAX_SIZE solve sub-split: the combined _level_solve program at
+# 1000 px-class geometries never returns from the remote compile service
+# (>3 h observed, vs minutes for each piece), so staged mode compiles the
+# three sub-expressions as separate programs above FUSED_ENVELOPE_PIXELS.
+_solve_graph_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l")
+)(_solve_graph)
+
+_solve_nl_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l", "numlayer", "full_hw")
+)(_solve_nl)
+
+_solve_finish_jit = functools.partial(
+    jax.jit, static_argnames=("config", "l", "numlayer")
+)(_solve_finish)
 
 # Largest content-pixel count known safe for the FUSED whole-pipeline
 # program on the relayed TPU: the 680x452 headline (~307k px) runs fused;
@@ -621,16 +686,44 @@ def transfer_pair(
                 print(f"[staged] L{l} match {time.perf_counter() - t_l:.1f}s",
                       flush=True)
                 t_l = time.perf_counter()
-            ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = (
-                _level_solve_jit(
-                    params, config=config, l=l, numlayer=numlayer,
-                    want_trace=return_intermediates, key=key, ann=ann,
-                    bnn=bnn, guide_bgr=guide_bgr, bds_err=bds_err,
-                    prev_ab=prev_ab, down_cnt=cnt_pyr[l],
-                    cnt_lab_unit=cnt_lab_unit, label_map=label_map,
-                    membership=membership,
-                )
+            # Solve sub-split (graph / nonlocal / finish as separate
+            # programs — the combined solve program at 1000 px never
+            # returns from the remote compile service).
+            (nbr_ids, nbr_w, nbr_slots, candidates, a0, b0, confidence,
+             cnt_lab_d, guide_lab_d, key) = _solve_graph_jit(
+                config=config, l=l, key=key, down_cnt=cnt_pyr[l],
+                guide_bgr=guide_bgr, bds_err=bds_err, label_map=label_map,
+                membership=membership,
             )
+            if verbose:
+                _sync(confidence)
+                print(f"[staged] L{l} graph {time.perf_counter() - t_l:.1f}s",
+                      flush=True)
+                t_l = time.perf_counter()
+            a_d, b_d = _solve_nl_jit(
+                config=config, l=l, numlayer=numlayer, full_hw=(h, w),
+                a0=a0, b0=b0, prev_ab=prev_ab, cnt_lab_d=cnt_lab_d,
+                guide_lab_d=guide_lab_d, confidence=confidence,
+                nbr_ids=nbr_ids, nbr_w=nbr_w, nbr_slots=nbr_slots,
+                candidates=candidates,
+            )
+            prev_ab = (a_d, b_d)
+            if verbose:
+                _sync(a_d)
+                print(f"[staged] L{l} nl {time.perf_counter() - t_l:.1f}s",
+                      flush=True)
+                t_l = time.perf_counter()
+            refined, cnt_feat_l, a_f, b_f = _solve_finish_jit(
+                params, config=config, l=l, numlayer=numlayer,
+                a_d=a_d, b_d=b_d, cnt_lab_unit=cnt_lab_unit,
+            )
+            tr = None
+            if return_intermediates:
+                tr = {
+                    "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
+                    "a": a_f, "b": b_f, "bds_err": bds_err,
+                    "refined": refined,
+                }
         else:
             ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = step(
                 params, config=config, l=l, numlayer=numlayer,
