@@ -101,6 +101,13 @@ class Config:
     # suffice (SSIM 0.998 vs 8 rescores at 192 px; each rescore is an
     # Ha*Wa-row gather of K*C-wide patch rows).
     window_shortlist: int = 2
+    # Force optimization_barrier sequencing of the two window-refine
+    # directions (+ the BDS stage) inside _level_match.  Auto-enabled by
+    # geometry above pipeline._SERIALIZE_PIXELS — the measured boundary
+    # where the concurrently-scheduled pair's live set kernel-faults the
+    # relayed worker (PERFORMANCE.md round-3 bisection); this flag forces
+    # it below that for A/B testing.
+    match_serialize: bool = False
     # Nonlocal transpose-table cap: in-edges kept per candidate slot (the
     # strongest under the cap).  Every directed k-NN pair targets one of
     # the ~K*M candidate pixels, whose mean in-degree at 700 px is ~120 —

@@ -69,6 +69,13 @@ def image_pyramid(
     return out
 
 
+# Content-pixel count above which _level_match serializes its two search
+# directions with optimization_barrier (see the use_window branch) — the
+# measured fault boundary of the concurrently-scheduled pair, i.e. the
+# fused envelope (680x452 ~307k px is safe; 700x465 ~326k px faults).
+_SERIALIZE_PIXELS = 320_000
+
+
 def _level_match(
     params,
     *,
@@ -137,16 +144,31 @@ def _level_match(
             ann, _ = exact_nn.exact_nn(fc_n, fs_n, config.patch_size)
             bnn, _ = exact_nn.exact_nn(fs_n, fc_n, config.patch_size)
     elif use_window:
+        # Above the fused envelope the combined match program's concurrent
+        # live set (both refine directions' strip/shortlist tables + the
+        # BDS buffers scheduled together) kernel-faults the relayed TPU
+        # worker while each constituent passes alone (round-3 bisection,
+        # PERFORMANCE.md).  optimization_barrier pins a sequential
+        # schedule — the b->a refine cannot start (and its buffers cannot
+        # be live) until the a->b refine's value is materialized — which
+        # bounds peak memory to one direction's working set at a time.
+        serialize = config.match_serialize or ah * aw > _SERIALIZE_PIXELS
         ann0 = nnf.upsample(ann_prev, ah, aw, bh, bw)
         bnn0 = nnf.upsample(bnn_prev, bh, bw, ah, aw)
         ann, _ = window_refine.window_refine(
             fc_n, fs_n, ann0, config.window_radius,
             config.window_shortlist, config.patch_size,
         )
+        if serialize:
+            ann, fc_n, fs_n, bnn0 = jax.lax.optimization_barrier(
+                (ann, fc_n, fs_n, bnn0))
         bnn, _ = window_refine.window_refine(
             fs_n, fc_n, bnn0, config.window_radius,
             config.window_shortlist, config.patch_size,
         )
+        if serialize:
+            ann, bnn, down_stl, fs, fc_n = jax.lax.optimization_barrier(
+                (ann, bnn, down_stl, fs, fc_n))
     else:
         if l == 0:
             if ann_prev is not None:   # video warm start (config #5)

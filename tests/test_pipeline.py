@@ -127,6 +127,23 @@ def test_staged_matches_fused(tiny_setup):
     assert diff.mean() <= 1.0, diff.mean()
 
 
+def test_match_serialize_is_identity(tiny_setup):
+    """The optimization_barrier sequencing of the two window-refine
+    directions (auto-on above pipeline._SERIALIZE_PIXELS, the measured
+    live-set fault boundary) is a pure scheduling constraint — the output
+    must be BITWISE equal with the flag forced on."""
+    import dataclasses
+
+    params, cnt, stl, config = tiny_setup
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(transfer_pair(params, cnt, stl, 2.0, config, key=key))
+    ser = np.asarray(transfer_pair(
+        params, cnt, stl, 2.0,
+        dataclasses.replace(config, match_serialize=True), key=key,
+    ))
+    assert (base == ser).all()
+
+
 def test_staged_subsplit_matches_staged(tiny_setup, monkeypatch):
     """The MAX_SIZE sub-split (search-per-direction + BDS + solve as
     separate programs — the fix for the >=465x700 _level_match kernel
