@@ -130,6 +130,7 @@ def make_mg_preconditioner(
     omega: float = 0.8,
     coarsest: int = 8,
     coarse_sweeps: int = 8,
+    max_levels: int = 8,
 ):
     """Geometric-multigrid V-cycle preconditioner for the nonlocal system.
 
@@ -164,7 +165,7 @@ def make_mg_preconditioner(
         dbb = cbb + deg
         inv_det = 1.0 / (daa * dbb - cab * cab)
         levels.append((caa, cab, cbb, cwx, cwy, daa, dbb, inv_det))
-        if min(h, w) <= coarsest or len(levels) >= 8:
+        if min(h, w) <= coarsest or len(levels) >= max_levels:
             break
         # Galerkin coefficients for piecewise-constant P (see docstring).
         caa = 0.25 * _coarsen_cellsum(caa)
@@ -246,6 +247,15 @@ def make_mg_preconditioner(
     return precond
 
 
+# Pair-axis size above which the in-edge TABLE build is not used by
+# default: its global argsort + associative_scan rank chain over the
+# [N*k] pair axis stalls the remote TPU compile service (the 465x700
+# L4 graph at 2.6M pairs compiles in minutes; 665x1000 at 5.3M pairs
+# never returns — round-3 bisection, tools/bisect_nl_compile.py), while
+# the scatter-transpose program at the same shape compiles in seconds.
+_TABLES_MAX_PAIRS = 3_000_000
+
+
 def make_nonlocal_system(
     src_lab: jnp.ndarray,
     ref_lab: jnp.ndarray,
@@ -260,6 +270,7 @@ def make_nonlocal_system(
     nbr_slots: jnp.ndarray | None = None,
     precond_kind: str = "block_jacobi",
     in_cap: int = 128,
+    transpose: str = "auto",
 ):
     """Build (operator, rhs, preconditioner) for the normal equations.
 
@@ -273,6 +284,20 @@ def make_nonlocal_system(
 
     in_cap: per-target in-edge cap when candidates/nbr_slots are given
     (see the transpose-table comment below).
+
+    transpose: how the W^T half of the graph Laplacian is applied.
+      "tables"  — precomputed fixed-width in-edge tables (gather-only CG
+                  iterations; edges beyond in_cap dropped symmetrically).
+      "scatter" — per-iteration scatter-add of each directed edge to its
+                  target (nonlocal_apply's schedule).  NO edge capping —
+                  the exact uncapped operator — at ~the cost of one
+                  unsorted [N*k]-row scatter per iteration.  Exists
+                  because the table build's global sort-and-rank chain
+                  over the [N*k] pair axis stalls the remote TPU compile
+                  service above ~3M pairs (>=1000 px-class L4; round-3
+                  bisection, tools/bisect_nl_compile.py) while scatters
+                  at the same shape compile in seconds.
+      "auto"    — "tables" below _TABLES_MAX_PAIRS pairs, else "scatter".
     """
     h, w, _ = src_lab.shape
     n = h * w
@@ -307,8 +332,37 @@ def make_nonlocal_system(
     # STRONGEST edges under the cap (sort key slot*16 - w; weights are
     # bounded by e^1), and resolve to pixels with one sorted build-time
     # scatter of the K*M candidate ids.
+    if transpose == "auto":
+        transpose = (
+            "scatter" if n * k > _TABLES_MAX_PAIRS else "tables"
+        )
     use_slots = candidates is not None and nbr_slots is not None
-    if use_slots:
+    if transpose == "scatter":
+        # Exact uncapped W^T via per-iteration scatter-add (see docstring).
+        out_deg = jnp.sum(pair_w, axis=1)
+        in_deg = jnp.zeros((n,), jnp.float32).at[
+            nbr_ids.reshape(-1)
+        ].add(pair_w.reshape(-1))
+        both_deg_sc = (out_deg + in_deg)[:, None]
+        if use_slots:
+            cand_flat = candidates.reshape(-1).astype(jnp.int32)
+
+        def nl_apply_scatter(u):
+            if use_slots:
+                uj = u[cand_flat][nbr_slots]               # [N, k, C]
+            else:
+                uj = u[nbr_ids]
+            wu = pair_w[..., None] * uj
+            out_sum = jnp.sum(wu, axis=1)
+            # each directed edge also deposits w*u_source at its target
+            src_c = pair_w[..., None] * u[:, None, :]      # [N, k, C]
+            in_sum = jnp.zeros_like(u).at[nbr_ids.reshape(-1)].add(
+                src_c.reshape(n * k, -1)
+            )
+            return both_deg_sc * u - out_sum - in_sum
+
+        nl_apply = nl_apply_scatter
+    elif use_slots:
         cand_flat = candidates.reshape(-1).astype(jnp.int32)
         n_slots = cand_flat.shape[0]
         # table width scales with the MEAN in-degree n*k/S (x1.5 headroom
@@ -334,69 +388,71 @@ def make_nonlocal_system(
         sort_key = flat_t
         n_targets = n
 
-    order = jnp.argsort(sort_key)
-    sorted_t = flat_t[order]
-    # rank of each pair within its target segment (sorted order)
-    pos = jnp.arange(n * k, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_t[1:] != sorted_t[:-1]]
-    )
-    seg_first = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0)
-    )
-    rank = pos - seg_first
-    keep = rank < in_max
-    # in_tab[t, r] = pair slot (into the flat pair axis) or sentinel n*k.
-    # Kept (target, rank) pairs are unique; dropped pairs write the sentinel
-    # so a .min scatter keeps whatever real slot lands there.
-    in_tab = jnp.full((n_targets, in_max), n * k, dtype=jnp.int32)
-    in_tab = in_tab.at[
-        jnp.where(keep, sorted_t, n_targets - 1),
-        jnp.where(keep, rank, in_max - 1),
-    ].min(jnp.where(keep, order, n * k).astype(jnp.int32))
-    # zero overflowed pairs on the out side too (symmetry)
-    keep_by_pair = jnp.zeros((n * k,), bool).at[order].set(keep)
-    pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
-    pair_w_flat = pair_w.reshape(n * k)
-
-    # Resolve pair slots to (source pixel, weight); sentinel -> (0, 0).
-    valid = in_tab < n * k
-    in_tab_c = jnp.minimum(in_tab, n * k - 1)
-    in_src = jnp.where(valid, (in_tab_c // k).astype(jnp.int32), 0)
-    in_w = jnp.where(valid, pair_w_flat[in_tab_c], 0.0)
-    out_deg = jnp.sum(pair_w, axis=1)                  # [N]
-    if use_slots:
-        # scatter the per-slot tables' sums back to pixel space once at
-        # build time (slot -> pixel is cand_flat); the per-iteration in-sum
-        # reuses the same sorted order.
-        cs_order = jnp.argsort(cand_flat)
-        cs_ids = cand_flat[cs_order]
-        in_deg = jnp.zeros((n,), jnp.float32).at[cs_ids].add(
-            jnp.sum(in_w, axis=1)[cs_order],
-            indices_are_sorted=True, unique_indices=False,
+    if transpose != "scatter":
+        order = jnp.argsort(sort_key)
+        sorted_t = flat_t[order]
+        # rank of each pair within its target segment (sorted order)
+        pos = jnp.arange(n * k, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_t[1:] != sorted_t[:-1]]
         )
-    else:
-        in_deg = jnp.sum(in_w, axis=1)                 # [N]
-    both_deg = (out_deg + in_deg)[:, None]
+        seg_first = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pos, 0)
+        )
+        rank = pos - seg_first
+        keep = rank < in_max
+        # in_tab[t, r] = pair slot (into the flat pair axis) or sentinel
+        # n*k.  Kept (target, rank) pairs are unique; dropped pairs write
+        # the sentinel so a .min scatter keeps whatever real slot lands
+        # there.
+        in_tab = jnp.full((n_targets, in_max), n * k, dtype=jnp.int32)
+        in_tab = in_tab.at[
+            jnp.where(keep, sorted_t, n_targets - 1),
+            jnp.where(keep, rank, in_max - 1),
+        ].min(jnp.where(keep, order, n * k).astype(jnp.int32))
+        # zero overflowed pairs on the out side too (symmetry)
+        keep_by_pair = jnp.zeros((n * k,), bool).at[order].set(keep)
+        pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
+        pair_w_flat = pair_w.reshape(n * k)
 
-    def nl_apply(u):
-        """u: [N, C] -> sum_j w_ij (u_i - u_j) over both edge directions."""
+        # Resolve pair slots to (source pixel, weight); sentinel -> (0, 0).
+        valid = in_tab < n * k
+        in_tab_c = jnp.minimum(in_tab, n * k - 1)
+        in_src = jnp.where(valid, (in_tab_c // k).astype(jnp.int32), 0)
+        in_w = jnp.where(valid, pair_w_flat[in_tab_c], 0.0)
+        out_deg = jnp.sum(pair_w, axis=1)              # [N]
         if use_slots:
-            # two-hop gather through the small candidate table: 20k-row
-            # tables gather ~3x faster than the 300k-row pixel table
-            u_cand = u[cand_flat]                          # [K*M, C]
-            uj = u_cand[nbr_slots]                         # [N, k, C]
-            out_sum = jnp.sum(pair_w[..., None] * uj, axis=1)
-            in_sum_c = jnp.sum(in_w[..., None] * u[in_src], axis=1)
-            in_sum = jnp.zeros_like(u).at[cs_ids].add(
-                in_sum_c[cs_order],
+            # scatter the per-slot tables' sums back to pixel space once
+            # at build time (slot -> pixel is cand_flat); the
+            # per-iteration in-sum reuses the same sorted order.
+            cs_order = jnp.argsort(cand_flat)
+            cs_ids = cand_flat[cs_order]
+            in_deg = jnp.zeros((n,), jnp.float32).at[cs_ids].add(
+                jnp.sum(in_w, axis=1)[cs_order],
                 indices_are_sorted=True, unique_indices=False,
             )
         else:
-            uj = u[nbr_ids]                                # [N, k, C]
-            out_sum = jnp.sum(pair_w[..., None] * uj, axis=1)
-            in_sum = jnp.sum(in_w[..., None] * u[in_src], axis=1)
-        return both_deg * u - out_sum - in_sum
+            in_deg = jnp.sum(in_w, axis=1)             # [N]
+        both_deg = (out_deg + in_deg)[:, None]
+
+        def nl_apply(u):
+            """u: [N, C] -> sum_j w_ij (u_i - u_j), both edge directions."""
+            if use_slots:
+                # two-hop gather through the small candidate table: 20k-row
+                # tables gather ~3x faster than the 300k-row pixel table
+                u_cand = u[cand_flat]                      # [K*M, C]
+                uj = u_cand[nbr_slots]                     # [N, k, C]
+                out_sum = jnp.sum(pair_w[..., None] * uj, axis=1)
+                in_sum_c = jnp.sum(in_w[..., None] * u[in_src], axis=1)
+                in_sum = jnp.zeros_like(u).at[cs_ids].add(
+                    in_sum_c[cs_order],
+                    indices_are_sorted=True, unique_indices=False,
+                )
+            else:
+                uj = u[nbr_ids]                            # [N, k, C]
+                out_sum = jnp.sum(pair_w[..., None] * uj, axis=1)
+                in_sum = jnp.sum(in_w[..., None] * u[in_src], axis=1)
+            return both_deg * u - out_sum - in_sum
 
     def operator(x):
         a, b = x
@@ -449,7 +505,10 @@ def make_nonlocal_system(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "precond_kind", "dynamic", "in_cap")
+    jax.jit,
+    static_argnames=(
+        "iters", "precond_kind", "dynamic", "in_cap", "transpose"
+    ),
 )
 def solve_nonlocal(
     a0: jnp.ndarray,
@@ -470,6 +529,7 @@ def solve_nonlocal(
     precond_kind: str = "block_jacobi",
     dynamic: bool = True,
     in_cap: int = 128,
+    transpose: str = "auto",
 ):
     """Solve for regularized (a, b) at down-res.  Returns (a, b) [H, W, 3].
 
@@ -481,7 +541,7 @@ def solve_nonlocal(
     operator, rhs, precond = make_nonlocal_system(
         src_lab, ref_lab, confidence, nbr_ids, nbr_w, norm_factor,
         local_weight, alpha, nonlocal_weight, candidates, nbr_slots,
-        precond_kind, in_cap,
+        precond_kind, in_cap, transpose,
     )
     (a, b), _ = cg_solve(
         operator, rhs, (a0.astype(jnp.float32), b0.astype(jnp.float32)),

@@ -21,8 +21,16 @@ def tiny_setup():
     cnt = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
     stl = rng.integers(0, 256, (44, 52, 3)).astype(np.uint8)
     params = vgg19.init_params()
+    # cg_iters_mg stays at the tight 10 here: these tests compare
+    # execution MODES (fused / staged / sub-split), and the dynamic early
+    # exit is value-dependent — two bitwise-different-but-equivalent
+    # programs can exit a 40-iteration solve one iteration apart,
+    # amplifying rounding into multi-LSB output diffs on these tiny
+    # random images (seen when the coarse mg cap rose 10 -> 40; at 10
+    # both modes run to the cap and trip counts match).
     config = Config(
         pm_iters=2, cg_iters=10, cg_iters_final=10, wls_cg_iters=10,
+        cg_iters_mg=10,
         kmeans_iters=3,
     )
     return params, cnt, stl, config
@@ -123,6 +131,33 @@ def test_staged_matches_fused(tiny_setup):
     # random-noise inputs + untrained backbone = near-degenerate match
     # fields, the worst case for partitioning divergence; diffs measured
     # spatially uniform (no boundary artefacts), mean ~0.8 LSB, max ~6
+    assert (diff <= 2).mean() >= 0.95, (diff > 2).mean()
+    assert diff.mean() <= 1.0, diff.mean()
+
+
+def test_scatter_transpose_pipeline_matches_tables(tiny_setup, monkeypatch):
+    """The MAX_SIZE nonlocal transpose mode (per-iteration scatter-add
+    instead of in-edge tables; auto-selected above
+    nonlocal_solve._TABLES_MAX_PAIRS because the table build's global
+    sort-and-rank chain stalls the remote compile service at >=1000 px
+    L4 geometries) must agree with the table path through the whole
+    pipeline.  The operator itself is exact (test_solvers); residual
+    output difference is CG rounding-schedule only."""
+    import dataclasses
+
+    from nct_tpu.solve import nonlocal_solve as nl
+
+    params, cnt, stl, config = tiny_setup
+    config = dataclasses.replace(config, feature_dtype="float32")
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key)
+    ).astype(int)
+    monkeypatch.setattr(nl, "_TABLES_MAX_PAIRS", 0)
+    scat = np.asarray(
+        transfer_pair(params, cnt, stl, 2.0, config, key=key)
+    ).astype(int)
+    diff = np.abs(base - scat)
     assert (diff <= 2).mean() >= 0.95, (diff > 2).mean()
     assert diff.mean() <= 1.0, diff.mean()
 

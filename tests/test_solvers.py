@@ -404,6 +404,56 @@ def test_nonlocal_slot_path_matches_dense_normal_matrix(rng):
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_nonlocal_scatter_transpose_matches_tables(rng):
+    """transpose="scatter" (the MAX_SIZE path: per-iteration scatter-add
+    of W^T, no in-edge tables — the table build's global sort-and-rank
+    chain stalls the remote compile service above ~3M pairs) must equal
+    the ample-cap table operator — i.e. the exact uncapped A^T A graph
+    term — on both the slot-keyed and pixel-keyed paths."""
+    h, w = 3, 4
+    n = h * w
+    kc, m, k = 3, 5, 4
+    s = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    r = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, (h, w)).astype(np.float32)
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    cand_flat = candidates.reshape(-1)
+    nbr_slots = rng.integers(0, kc * m, (n, k)).astype(np.int32)
+    ids = cand_flat[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+    x_a = rng.standard_normal((h, w, 3)).astype(np.float32)
+    x_b = rng.standard_normal((h, w, 3)).astype(np.float32)
+
+    # pixel-keyed tables cap in-edges at 2k, so that comparison needs
+    # bounded in-degree: a shifted ring gives every pixel exactly k
+    # in-edges (the slot-keyed case uses the ample cap and random hubs)
+    ring_ids = ((np.arange(n)[:, None] + np.arange(1, k + 1)) % n
+                ).astype(np.int32)
+    for use_ids, slot_kwargs in (
+        (ids, dict(candidates=jnp.asarray(candidates),
+                   nbr_slots=jnp.asarray(nbr_slots))),
+        (ring_ids, dict()),
+    ):
+        op_tab, rhs_tab, _ = make_nonlocal_system(
+            jnp.asarray(s), jnp.asarray(r), jnp.asarray(conf),
+            jnp.asarray(use_ids), jnp.asarray(wts), 4.0,
+            in_cap=n * k, transpose="tables", **slot_kwargs,
+        )
+        op_sc, rhs_sc, _ = make_nonlocal_system(
+            jnp.asarray(s), jnp.asarray(r), jnp.asarray(conf),
+            jnp.asarray(use_ids), jnp.asarray(wts), 4.0,
+            transpose="scatter", **slot_kwargs,
+        )
+        ta, tb = op_tab((jnp.asarray(x_a), jnp.asarray(x_b)))
+        sa, sb = op_sc((jnp.asarray(x_a), jnp.asarray(x_b)))
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(ta),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(tb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rhs_sc[0]), np.asarray(rhs_tab[0]), rtol=1e-6)
+
+
 def test_nonlocal_slot_path_ample_cap_exact_under_hub(rng):
     """Regression: with an ample in-cap (>= n*k) the slot-path operator
     must equal dense A^T A even when one slot is a hub absorbing EVERY
