@@ -135,6 +135,31 @@ def test_space_only_sharding_single_pair():
 
 
 @pytest.mark.slow
+def test_space_sharded_scatter_transpose(monkeypatch):
+    """MAX_SIZE geometries auto-select the scatter nonlocal transpose
+    (nonlocal_solve._TABLES_MAX_PAIRS), and MAX_SIZE is exactly where
+    space sharding matters — so the SPMD partitioner must handle the
+    per-iteration scatter-add under row sharding.  Forced on at test
+    size; rows sharded over all 8 virtual devices."""
+    from nct_tpu.solve import nonlocal_solve as nl
+
+    monkeypatch.setattr(nl, "_TABLES_MAX_PAIRS", 0)
+    cnt, stl, keys = _pairs(1, 64, 48, 64, 48)
+    params = _params()
+
+    plain = make_batch_transfer(
+        dataclasses.replace(TINY, vgg_compute_dtype="float32")
+    )
+    want = np.asarray(plain(params, cnt, stl, keys, 2.0))
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    step = make_batch_transfer(TINY, mesh)
+    with mesh:
+        got = np.asarray(step(params, cnt, stl, keys, 2.0))
+    _assert_mostly_equal(got, want)
+
+
+@pytest.mark.slow
 def test_ring_pipeline_drops_style_all_gather():
     """Under space sharding the exact-NN levels route through the ring
     matcher (Config.space_mesh, round-2 VERDICT #4): the compiled
