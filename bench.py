@@ -70,7 +70,42 @@ def load_pair():
     return cnt, stl
 
 
+def _devices_or_die(timeout_s: float = 900.0):
+    """Fail FAST when the relay is down instead of hanging forever.
+
+    The axon PJRT plugin retries its first device RPC indefinitely; if
+    the relay/terminal process has died (observed: terminal-side compile
+    OOM takes it down, CLAUDE.md quirks), `jax.devices()` never returns
+    and the whole bench run hangs.  Probe it on a daemon thread with a
+    hard deadline and emit an honest infra-failure JSON line on timeout.
+    """
+    import threading
+
+    box: dict = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    print(json.dumps({
+        "metric": "e2e_megapixels_per_sec",
+        "value": 0.0,
+        "unit": "INFRA FAILURE: device discovery timed out "
+                f"({box.get('error', 'relay unreachable')})",
+        "vs_baseline": 0.0,
+    }))
+    os._exit(2)
+
+
 def main() -> None:
+    _devices_or_die()
     cnt, stl = load_pair()
     # Fused vs staged: same rule as the CLI — the fused whole-pipeline
     # program is known-safe only below FUSED_ENVELOPE_PIXELS of content
