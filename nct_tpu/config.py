@@ -53,22 +53,37 @@ class Config:
     cg_iters_final: int = 25       # at the finest level (layer==4)
     cg_iters: int = 50             # at coarser levels
     wls_cg_iters: int = 200        # WLS PCG budget (ref uses a direct solver)
+    # WLS preconditioner: "mg" = the nonlocal solve's geometric-multigrid
+    # V-cycle with zero cross-blocks.  The coarse levels' WLS systems are
+    # strongly Laplacian-dominated (lam scales with fullArea/downArea,
+    # ColorTransfer.cpp:1359-1361) — plain Jacobi-PCG burns the whole
+    # 200-iteration budget there without converging, while mg-PCG exits
+    # at ~5-10 iterations BELOW the Jacobi result's residual
+    # (tools/wls_convergence.py; PERFORMANCE.md round-4).  The budget cap
+    # below applies when wls_precond="mg".
+    wls_precond: str = "mg"
+    wls_cg_iters_mg: int = 30
     # Nonlocal-solve preconditioner: "mg" = multigrid V-cycle (reaches the
     # block-Jacobi budget's residual in ~1/8 the iterations on the real
     # Laplacian-dominated systems; see PERFORMANCE.md), "block_jacobi" =
     # the exact per-pixel 2x2 inverse (the round-1 default, kept for the
     # parity config).  The mg budgets below apply when nl_precond="mg".
     nl_precond: str = "mg"
-    # Coarse-level cap 40, not 10: the in1/tar1 demo pair's coarse systems
-    # need ~30 PCG iterations before the solution stops over-amplifying
-    # luminance contrast (an under-converged solve leaves near-data-term
-    # (a, b) spikes that survive to the output as garish saturation; see
-    # tests/test_golden.py per-pair ceilings).  The while_loop early exit
-    # (cg_tol) keeps well-conditioned pairs at their natural iteration
-    # count, so the raised cap only costs where convergence actually
-    # needs it.  The finest level stays at 6 — measured to not matter
-    # for this failure mode, and it dominates solve cost.
-    cg_iters_mg: int = 40
+    # Coarse-level cap 12: round 3 raised this to 40 because the in1/tar1
+    # demo pair's coarse solves left garish contrast spikes at 10 — but
+    # the spikes were CG *error from the init*, not missing convergence:
+    # the patch-stat a0 = sigma_ref/(sigma_src+eps) spikes to O(50) in
+    # low-confidence regions whose (a, b) rides the regularizers — the
+    # near-null modes PCG converges on slowest.  _solve_nl now clamps the
+    # level-0 init to a in [0, 2] with b recomputed (identical predicted
+    # color, identical fixed point), after which the iterate is closer to
+    # the exact solution at 5 iterations than the raw init was at 40
+    # (captured-system study + closure sweep, PERFORMANCE.md round-4;
+    # tools/sweep_nl_quality.py: all 5 pairs under their test_golden
+    # ceilings at cap 10; 12 adds margin).  The finest level stays at 6 —
+    # measured to not matter for this failure mode, and it dominates
+    # solve cost.
+    cg_iters_mg: int = 12
     cg_iters_final_mg: int = 6
     # CG loop style: dynamic while_loop (early exit; best single-pair
     # latency) vs fixed-trip scan (vmapped while_loop serializes the whole
@@ -143,7 +158,7 @@ class Config:
             exact_nn_levels=0, fine_strategy="patchmatch",
             pm_iters=10, pm_iters_fine=10, nl_precond="block_jacobi",
             cg_iters=100, cg_iters_final=50, wls_cg_iters=400,
-            cg_tol=1e-6,
+            wls_cg_iters_mg=100, cg_tol=1e-6,
         )
         base.update(overrides)
         return cls(**base)

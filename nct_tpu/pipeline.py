@@ -349,6 +349,25 @@ def _solve_nl(
     if prev_ab is not None:
         a0 = resize.resize_bilinear(prev_ab[0], ah, aw)
         b0 = resize.resize_bilinear(prev_ab[1], ah, aw)
+    else:
+        # Sanitize the level-0 patch-stat init: a = sigma_ref/(sigma_src
+        # + eps) spikes to O(50) wherever sigma_src ~ 0 (ref :1255-1263
+        # has the same spikes and burns unpreconditioned CG iterations
+        # fighting them).  Those pixels sit in low-confidence regions
+        # whose (a, b) is decided by the regularizers, i.e. exactly the
+        # near-null modes PCG converges on SLOWEST — at the headline
+        # geometry the raw init needs ~40 mg-PCG iterations before the
+        # residual spikes stop reading as garish contrast, while the
+        # clamped init is closer to the solution at 5 than raw is at 40
+        # (captured-system study, PERFORMANCE.md round-4).  Clamping a
+        # to [0, 2] and recomputing b keeps the init's PREDICTED COLOR
+        # a*s+b bitwise identical (gamut-clipped), so the init still
+        # encodes the same guidance; only the coefficient-space spike —
+        # pure CG error — is removed.  The solve's fixed point is
+        # x0-independent (SPD).
+        tgt = jnp.clip(cnt_lab_d * a0 + b0, 0.0, 1.0)
+        a0 = jnp.clip(a0, 0.0, 2.0)
+        b0 = tgt - cnt_lab_d * a0
     norm_factor = float(h * w) / float(ah * aw)
     if config.nl_precond == "mg":
         cg_iters = (
@@ -360,15 +379,15 @@ def _solve_nl(
             config.cg_iters_final if l == numlayer - 1
             else config.cg_iters
         )
-    a_d, b_d = solve_nonlocal(
+    a_d, b_d, nl_it, nl_r2 = solve_nonlocal(
         a0, b0, cnt_lab_d, guide_lab_d, confidence, nbr_ids, nbr_w,
         norm_factor, config.local_weight, config.wls_alpha,
         config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
         candidates=candidates, nbr_slots=nbr_slots,
         precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
-        in_cap=config.nl_in_cap,
+        in_cap=config.nl_in_cap, return_iters=True,
     )
-    return a_d, b_d
+    return a_d, b_d, (nl_it, nl_r2)
 
 
 def _solve_finish(
@@ -392,10 +411,15 @@ def _solve_finish(
     lam = config.wls_lambda_init * norm_factor
     if (ah, aw) == (h, w):
         lam = lam * 4.0  # final-level boost (ref :1418-1424)
-    a_f, b_f = solve_wls(
+    wls_iters = (
+        config.wls_cg_iters_mg if config.wls_precond == "mg"
+        else config.wls_cg_iters
+    )
+    a_f, b_f, wls_it, wls_r2 = solve_wls(
         a_up, b_up, cnt_lab_unit, lam, config.wls_alpha,
-        iters=config.wls_cg_iters, tol=config.cg_tol,
-        dynamic=config.cg_dynamic,
+        iters=wls_iters, tol=config.cg_tol,
+        dynamic=config.cg_dynamic, return_iters=True,
+        precond_kind=config.wls_precond,
     )
 
     res_lab = apply_transform(a_f, b_f, cnt_lab_unit)
@@ -406,7 +430,7 @@ def _solve_finish(
         cnt_feat_next = vgg19.features_jit(
             params, refined, (taps[l + 1],), vgg_bf16
         )[taps[l + 1]]
-    return refined, cnt_feat_next, a_f, b_f
+    return refined, cnt_feat_next, a_f, b_f, (wls_it, wls_r2)
 
 
 def _level_solve(
@@ -440,7 +464,7 @@ def _level_solve(
         guide_bgr=guide_bgr, bds_err=bds_err, label_map=label_map,
         membership=membership,
     )
-    a_d, b_d = _solve_nl(
+    a_d, b_d, nl_info = _solve_nl(
         config=config, l=l, numlayer=numlayer, full_hw=(h, w),
         a0=a0, b0=b0, prev_ab=prev_ab, cnt_lab_d=cnt_lab_d,
         guide_lab_d=guide_lab_d, confidence=confidence,
@@ -448,18 +472,26 @@ def _level_solve(
         candidates=candidates,
     )
     prev_ab = (a_d, b_d)
-    refined, cnt_feat_next, a_f, b_f = _solve_finish(
+    refined, cnt_feat_next, a_f, b_f, wls_info = _solve_finish(
         params, config=config, l=l, numlayer=numlayer,
         a_d=a_d, b_d=b_d, cnt_lab_unit=cnt_lab_unit,
     )
 
     tr = None
     if want_trace:
+        # want_trace == "stats": solver-convergence scalars only (cheap
+        # program outputs for tools/profile_cg.py — no big intermediates).
         tr = {
-            "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
-            "a": a_f, "b": b_f, "bds_err": bds_err,
-            "refined": refined,
+            "level": l,
+            "nl_iters": nl_info[0], "nl_r2": nl_info[1],
+            "wls_iters": wls_info[0], "wls_r2": wls_info[1],
         }
+        if want_trace != "stats":
+            tr.update({
+                "ann": ann, "bnn": bnn, "guide": guide_bgr,
+                "a": a_f, "b": b_f, "bds_err": bds_err,
+                "refined": refined,
+            })
 
     # Barrier the cross-level state: in the fully-fused program XLA's
     # scheduler may otherwise hoist later levels' large intermediates
@@ -620,6 +652,9 @@ def transfer_pair(
     cnt/stl: uint8 BGR arrays (already capped to max_size by the caller).
     Returns uint8 BGR result at the content's resolution — plus a per-level
     trace dict when ``return_intermediates`` (the reference's ENABLE_VIS).
+    ``return_intermediates="stats"`` returns only the per-level solver
+    convergence scalars (nl/wls iteration counts + residuals) — cheap
+    program outputs for convergence profiling (tools/profile_cg.py).
 
     ``warm_start``: optional {"ann", "bnn"} NNFs at conv5_1 dims (from a
     previous, same-geometry frame) replacing the scaled-identity level-0
@@ -722,7 +757,7 @@ def transfer_pair(
                 print(f"[staged] L{l} graph {time.perf_counter() - t_l:.1f}s",
                       flush=True)
                 t_l = time.perf_counter()
-            a_d, b_d = _solve_nl_jit(
+            a_d, b_d, nl_info = _solve_nl_jit(
                 config=config, l=l, numlayer=numlayer, full_hw=(h, w),
                 a0=a0, b0=b0, prev_ab=prev_ab, cnt_lab_d=cnt_lab_d,
                 guide_lab_d=guide_lab_d, confidence=confidence,
@@ -735,17 +770,23 @@ def transfer_pair(
                 print(f"[staged] L{l} nl {time.perf_counter() - t_l:.1f}s",
                       flush=True)
                 t_l = time.perf_counter()
-            refined, cnt_feat_l, a_f, b_f = _solve_finish_jit(
+            refined, cnt_feat_l, a_f, b_f, wls_info = _solve_finish_jit(
                 params, config=config, l=l, numlayer=numlayer,
                 a_d=a_d, b_d=b_d, cnt_lab_unit=cnt_lab_unit,
             )
             tr = None
             if return_intermediates:
                 tr = {
-                    "level": l, "ann": ann, "bnn": bnn, "guide": guide_bgr,
-                    "a": a_f, "b": b_f, "bds_err": bds_err,
-                    "refined": refined,
+                    "level": l,
+                    "nl_iters": nl_info[0], "nl_r2": nl_info[1],
+                    "wls_iters": wls_info[0], "wls_r2": wls_info[1],
                 }
+                if return_intermediates != "stats":
+                    tr.update({
+                        "ann": ann, "bnn": bnn, "guide": guide_bgr,
+                        "a": a_f, "b": b_f, "bds_err": bds_err,
+                        "refined": refined,
+                    })
         else:
             ann, bnn, refined, cnt_feat_l, prev_ab, key, tr = step(
                 params, config=config, l=l, numlayer=numlayer,

@@ -48,6 +48,7 @@ def cg_solve(
     tol: float = 1e-6,
     preconditioner: Callable | None = None,
     dynamic: bool = True,
+    return_info: bool = False,
 ):
     """Solve operator(x) = b.  Returns (x, final ||r||^2).
 
@@ -60,6 +61,10 @@ def cg_solve(
     ``dynamic=False`` uses a fixed-trip ``lax.scan`` with masked updates
     (identical result, deterministic cost — useful under reverse-mode AD,
     which cannot differentiate through while_loop).
+
+    ``return_info=True`` additionally returns the number of iterations
+    actually run (the while_loop's trip count, or the count of live scan
+    steps) — the conditioning diagnostic behind the per-level budgets.
     """
     if preconditioner is None:
         preconditioner = lambda r: r  # noqa: E731
@@ -94,21 +99,26 @@ def cg_solve(
             x, r, p, rz = step(x, r, p, rz)
             return (i + 1, x, r, p, rz)
 
-        _, x, r, _, _ = jax.lax.while_loop(
+        n_it, x, r, _, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), x0, r0, z0, rz0)
         )
+        if return_info:
+            return x, _dot(r, r), n_it
         return x, _dot(r, r)
 
     def scan_body(state, _):
-        x, r, p, rz = state
+        x, r, p, rz, n_it = state
         live = _dot(r, r) > threshold
         xn, rn, pn, rzn = step(x, r, p, rz)
         sel = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
             lambda a_, b_: jnp.where(live, a_, b_), new, old
         )
         return (sel(xn, x), sel(rn, r), sel(pn, p),
-                jnp.where(live, rzn, rz)), None
+                jnp.where(live, rzn, rz),
+                n_it + live.astype(jnp.int32)), None
 
-    state0 = (x0, r0, z0, rz0)
-    (x, r, _, _), _ = jax.lax.scan(scan_body, state0, None, length=iters)
+    state0 = (x0, r0, z0, rz0, jnp.int32(0))
+    (x, r, _, _, n_it), _ = jax.lax.scan(scan_body, state0, None, length=iters)
+    if return_info:
+        return x, _dot(r, r), n_it
     return x, _dot(r, r)

@@ -507,7 +507,8 @@ def make_nonlocal_system(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "precond_kind", "dynamic", "in_cap", "transpose"
+        "iters", "precond_kind", "dynamic", "in_cap", "transpose",
+        "return_iters",
     ),
 )
 def solve_nonlocal(
@@ -530,6 +531,7 @@ def solve_nonlocal(
     dynamic: bool = True,
     in_cap: int = 128,
     transpose: str = "auto",
+    return_iters: bool = False,
 ):
     """Solve for regularized (a, b) at down-res.  Returns (a, b) [H, W, 3].
 
@@ -537,14 +539,20 @@ def solve_nonlocal(
     confidence: [H, W] data weight m_weight; norm_factor = fullArea /
     downArea (the dWeight of ref :1369).  candidates/nbr_slots (from
     knn_graph) enable the fast small-table out-gather.
+
+    ``return_iters=True`` appends (iterations run, final ||r||^2) — the
+    convergence diagnostic behind the per-level budgets (PERFORMANCE.md).
     """
     operator, rhs, precond = make_nonlocal_system(
         src_lab, ref_lab, confidence, nbr_ids, nbr_w, norm_factor,
         local_weight, alpha, nonlocal_weight, candidates, nbr_slots,
         precond_kind, in_cap, transpose,
     )
-    (a, b), _ = cg_solve(
+    (a, b), r2, n_it = cg_solve(
         operator, rhs, (a0.astype(jnp.float32), b0.astype(jnp.float32)),
         iters=iters, tol=tol, preconditioner=precond, dynamic=dynamic,
+        return_info=True,
     )
+    if return_iters:
+        return a, b, n_it, r2
     return a, b

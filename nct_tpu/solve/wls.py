@@ -35,6 +35,7 @@ from nct_tpu.solve.nonlocal_solve import (
     gradient_weights,
     laplacian_apply,
     laplacian_degree,
+    make_mg_preconditioner,
 )
 
 
@@ -50,7 +51,10 @@ def roughness_gate(
     return jnp.where(ok, 1.0, 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "dynamic"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "dynamic", "return_iters", "precond_kind"),
+)
 def solve_wls(
     a_up: jnp.ndarray,
     b_up: jnp.ndarray,
@@ -60,12 +64,24 @@ def solve_wls(
     iters: int = 400,
     tol: float = 1e-6,
     dynamic: bool = True,
+    return_iters: bool = False,
+    precond_kind: str = "mg",
 ):
     """Smooth (a, b) maps at full resolution.  Returns (a, b) [H, W, 3].
 
     cnt_lab_unit: [H, W, 3] the ORIGINAL full-res content Lab in [0, 1]
     (the reference's m_cntLabD, fixed across levels); lam already includes
     the normFactor scaling (and the x4 final-level boost, ref :1418-1424).
+
+    precond_kind: "mg" (default) = the same geometric-multigrid V-cycle
+    used by the nonlocal solve, applied with zero cross-blocks (the WLS
+    normal matrix couples nothing across a/b or channels).  The coarse
+    levels' systems are strongly Laplacian-dominated (lam scales with
+    fullArea/downArea, ref :1359-1361), where plain Jacobi-PCG burns its
+    whole 200-iteration budget without reaching tolerance — the V-cycle
+    reaches a LOWER residual in ~1/20 the iterations (tools/
+    wls_convergence.py table in PERFORMANCE.md).  "jacobi" = the diagonal
+    preconditioner (round-1 behaviour, kept for comparison).
     """
     rough = roughness_gate(a_up, b_up, cnt_lab_unit)[..., None]
     gx, gy = gradient_weights(cnt_lab_unit[..., 0], 1.0, alpha)
@@ -84,16 +100,22 @@ def solve_wls(
     b0 = b_up.astype(jnp.float32)
     rhs = (rough * a0, rough * b0)
 
-    diag = (rough[..., 0] + laplacian_degree(gx2, gy2))[..., None]
+    if precond_kind == "mg":
+        zero = jnp.zeros_like(rough)
+        precond = make_mg_preconditioner(rough, zero, rough, gx2, gy2)
+    else:
+        diag = (rough[..., 0] + laplacian_degree(gx2, gy2))[..., None]
 
-    def precond(res):
-        ra, rb = res
-        return (ra / diag, rb / diag)
+        def precond(res):
+            ra, rb = res
+            return (ra / diag, rb / diag)
 
-    (a, b), _ = cg_solve(
+    (a, b), r2, n_it = cg_solve(
         operator, rhs, (a0, b0), iters=iters, tol=tol,
-        preconditioner=precond, dynamic=dynamic,
+        preconditioner=precond, dynamic=dynamic, return_info=True,
     )
+    if return_iters:
+        return a, b, n_it, r2
     return a, b
 
 

@@ -285,6 +285,67 @@ def test_wls_matches_dense_solve(rng):
         )
 
 
+def test_wls_mg_matches_dense_solve_large(rng):
+    """The mg-preconditioned WLS against a dense solve at the largest
+    size a dense factorization can check (VERDICT round-3 #3), in the
+    coarse-level lam regime (lam ~ wls_lambda_init * fullArea/downArea)
+    where the system is Laplacian-dominated — plain Jacobi-PCG burns a
+    200-iteration budget here without converging (tools/
+    wls_convergence.py), so this is exactly the regime the V-cycle must
+    be provably exact in."""
+    h, w = 48, 64
+    lab = rng.uniform(0.0, 1.0, (h, w, 3))
+    a_up = rng.uniform(0.0, 2.0, (h, w, 3))
+    b_up = rng.uniform(-0.5, 0.5, (h, w, 3))
+    lam, alpha = 6.0, 1.2
+
+    gx, gy = gradient_weights(jnp.asarray(lab[..., 0], jnp.float32), 1.0, alpha)
+    gx2 = np.asarray(gx, np.float64) ** 2 * lam
+    gy2 = np.asarray(gy, np.float64) ** 2 * lam
+    rough = np.asarray(
+        roughness_gate(jnp.asarray(a_up), jnp.asarray(b_up), jnp.asarray(lab))
+    )
+    N = _dense_grid_laplacian(gx2, gy2) + np.diag(rough.reshape(-1))
+
+    a_got, b_got = solve_wls(
+        jnp.asarray(a_up, jnp.float32), jnp.asarray(b_up, jnp.float32),
+        jnp.asarray(lab, jnp.float32), lam, alpha, iters=80, tol=1e-8,
+        precond_kind="mg",
+    )
+    rhs = rough.reshape(-1, 1) * np.concatenate(
+        [a_up.reshape(-1, 3), b_up.reshape(-1, 3)], axis=1
+    )
+    want = np.linalg.solve(N, rhs)
+    np.testing.assert_allclose(
+        np.asarray(a_got).reshape(-1, 3), want[:, :3], rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_got).reshape(-1, 3), want[:, 3:], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_wls_mg_beats_jacobi_budget(rng):
+    """The VERDICT round-3 #3 bar, pinned as a test: the mg-PCG WLS must
+    reach a residual <= the 200-iteration Jacobi result in <= 1/4 the
+    iterations, on a coarse-level-lam system."""
+    h, w = 60, 80
+    lab = rng.uniform(0.0, 1.0, (h, w, 3))
+    a_up = rng.uniform(0.0, 2.0, (h, w, 3)).astype(np.float32)
+    b_up = rng.uniform(-0.5, 0.5, (h, w, 3)).astype(np.float32)
+    lam = 6.0
+
+    _, _, it_j, r2_j = solve_wls(
+        jnp.asarray(a_up), jnp.asarray(b_up), jnp.asarray(lab, jnp.float32),
+        lam, iters=200, tol=1e-12, precond_kind="jacobi", return_iters=True,
+    )
+    _, _, it_m, r2_m = solve_wls(
+        jnp.asarray(a_up), jnp.asarray(b_up), jnp.asarray(lab, jnp.float32),
+        lam, iters=50, tol=1e-12, precond_kind="mg", return_iters=True,
+    )
+    assert int(it_m) <= 50 and int(it_j) == 200
+    assert float(r2_m) <= float(r2_j)
+
+
 def test_mg_preconditioner_symmetric_positive_definite(rng):
     """The V-cycle must be a fixed SPD linear operator or PCG is invalid."""
     from nct_tpu.solve.nonlocal_solve import make_mg_preconditioner
