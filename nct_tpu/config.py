@@ -56,13 +56,19 @@ class Config:
     # WLS preconditioner: "mg" = the nonlocal solve's geometric-multigrid
     # V-cycle with zero cross-blocks.  The coarse levels' WLS systems are
     # strongly Laplacian-dominated (lam scales with fullArea/downArea,
-    # ColorTransfer.cpp:1359-1361) — plain Jacobi-PCG burns the whole
-    # 200-iteration budget there without converging, while mg-PCG exits
-    # at ~5-10 iterations BELOW the Jacobi result's residual
-    # (tools/wls_convergence.py; PERFORMANCE.md round-4).  The budget cap
-    # below applies when wls_precond="mg".
+    # ColorTransfer.cpp:1359-1361) — plain Jacobi-PCG stalls there
+    # (680x452 L0: r2 6.8e8 after its whole 200-iteration budget) while
+    # mg-PCG passes it 18x at 30 iterations and converges arbitrarily
+    # further (tools/wls_convergence.py; PERFORMANCE.md round-4).  The
+    # DEFAULT cap of 10 is a quality/speed point, not the convergence
+    # limit: the closure sweep (tools/sweep_nl_quality.py) measures all
+    # 5 demo pairs under their golden ceilings at caps 6-30 with closure
+    # slightly BETTER at 6-10, and each mg iteration costs ~6x a Jacobi
+    # one at full res, so 10 is ~4x cheaper than the r03 jacobi-200
+    # budget per level.  Raise toward 30+ (or reference_parity's 100)
+    # when exactness vs the direct solver matters more than latency.
     wls_precond: str = "mg"
-    wls_cg_iters_mg: int = 30
+    wls_cg_iters_mg: int = 10
     # Nonlocal-solve preconditioner: "mg" = multigrid V-cycle (reaches the
     # block-Jacobi budget's residual in ~1/8 the iterations on the real
     # Laplacian-dominated systems; see PERFORMANCE.md), "block_jacobi" =

@@ -40,44 +40,61 @@ def exact_knn_graph(
     n = h * w
     colors = lab_unit.reshape(n, 3).astype(np.float64)
     kc = member_pix.shape[0]
-    per_pixel: list[list[tuple[float, int]]] = [[] for _ in range(n)]
+    px_parts: list[np.ndarray] = []
+    id_parts: list[np.ndarray] = []
+    d_parts: list[np.ndarray] = []
 
     for c in range(kc):
-        ids = np.nonzero(member_pix[c].reshape(-1))[0]
+        ids = np.nonzero(member_pix[c].reshape(-1))[0].astype(np.int64)
         if ids.size <= 1:
             continue
         cc = colors[ids]                                   # [m, 3]
-        # full pairwise squared distances within the cluster list
-        d = (
-            np.sum(cc * cc, axis=1)[:, None]
-            - 2.0 * (cc @ cc.T)
-            + np.sum(cc * cc, axis=1)[None, :]
-        )
-        np.fill_diagonal(d, np.inf)                        # drop self
-        d = np.maximum(d, 0.0)
+        # full pairwise squared distances within the cluster list (chunked
+        # over query rows to bound the [m, m] buffer at MAX_SIZE grids)
+        sq = np.sum(cc * cc, axis=1)
         kk = min(k_num, ids.size - 1)
-        nn = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        for row, pid in enumerate(ids):
-            for j in nn[row]:
-                per_pixel[pid].append((float(d[row, j]), int(ids[j])))
+        for s in range(0, ids.size, 4096):
+            e = min(s + 4096, ids.size)
+            d = sq[s:e, None] - 2.0 * (cc[s:e] @ cc.T) + sq[None, :]
+            d[np.arange(s, e) - s, np.arange(s, e)] = np.inf   # drop self
+            np.maximum(d, 0.0, out=d)
+            nn = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            px_parts.append(np.repeat(ids[s:e], kk))
+            id_parts.append(ids[nn].reshape(-1))
+            d_parts.append(np.take_along_axis(d, nn, axis=1).reshape(-1))
 
-    out_ids: list[np.ndarray] = []
-    out_w: list[np.ndarray] = []
-    for i in range(n):
-        pairs = sorted(per_pixel[i], key=lambda t: t[0])
-        seen: set[int] = set()
-        ids_i: list[int] = []
-        w_i: list[float] = []
-        for dist, j in pairs:
-            if j in seen:
-                continue
-            seen.add(j)
-            ids_i.append(j)
-            w_i.append(float(np.exp(1.0 - dist / 3.0)))
-            if len(ids_i) >= k_num:
-                break
-        out_ids.append(np.asarray(ids_i, np.int32))
-        out_w.append(np.asarray(w_i, np.float32))
+    px = np.concatenate(px_parts) if px_parts else np.zeros(0, np.int64)
+    nid = np.concatenate(id_parts) if id_parts else np.zeros(0, np.int64)
+    dist = np.concatenate(d_parts) if d_parts else np.zeros(0)
+
+    # dedup (pixel, id) keeping the smallest distance: sort by (px, id, d),
+    # keep first of each (px, id) run; then rank by distance within each
+    # pixel and keep the first k (the reference's sortMergeComputeWeight).
+    o = np.lexsort((dist, nid, px))
+    px, nid, dist = px[o], nid[o], dist[o]
+    first = np.ones(px.size, bool)
+    first[1:] = (px[1:] != px[:-1]) | (nid[1:] != nid[:-1])
+    px, nid, dist = px[first], nid[first], dist[first]
+    o = np.lexsort((dist, px))
+    px, nid, dist = px[o], nid[o], dist[o]
+    seg_start = np.ones(px.size, bool)
+    seg_start[1:] = px[1:] != px[:-1]
+    seg_first = np.maximum.accumulate(
+        np.where(seg_start, np.arange(px.size), 0))
+    rank = np.arange(px.size) - seg_first
+    keep = rank < k_num
+    px, nid, dist = px[keep], nid[keep], dist[keep]
+
+    out_ids: list[np.ndarray] = [np.zeros(0, np.int32)] * n
+    out_w: list[np.ndarray] = [np.zeros(0, np.float32)] * n
+    wts = np.exp(1.0 - dist / 3.0)
+    bounds = np.nonzero(
+        np.concatenate([[True], px[1:] != px[:-1]]))[0] if px.size else []
+    bounds = list(bounds) + [px.size]
+    for bi in range(len(bounds) - 1):
+        s, e = bounds[bi], bounds[bi + 1]
+        out_ids[int(px[s])] = nid[s:e].astype(np.int32)
+        out_w[int(px[s])] = wts[s:e].astype(np.float32)
     return out_ids, out_w
 
 
@@ -87,17 +104,23 @@ def graph_recall(
     exact_ids: list[np.ndarray],
     exact_w: list[np.ndarray],
 ) -> tuple[float, float]:
-    """(id recall, weight recall) of a built graph vs the exact one.
+    """(id recall, weight ratio) of a built graph vs the exact one.
 
-    id recall   = mean over pixels of |got ∩ exact| / |exact|;
-    weight recall = total exact weight recovered / total exact weight —
-    weights decay exp(-d/3), so missing a far neighbour costs little.
+    id recall    = mean over pixels of |got ∩ exact| / |exact|.  NOTE:
+    unit-Lab colours are uint8-quantized, so exact-distance TIES are
+    ubiquitous and any tie-break yields a weight-equivalent graph — id
+    recall therefore UNDERSTATES fidelity and is reported for context
+    only.
+    weight ratio = sum of got weights / sum of exact weights per pixel,
+    averaged.  The exact graph maximizes the weight sum (weights decay
+    monotonically in distance and it keeps the k nearest), so this is in
+    [0, 1] with 1.0 iff the built graph is distance-optimal — the
+    tie-invariant fidelity metric the fence pins.
     """
     n = len(exact_ids)
     hit = 0.0
     cnt = 0
-    w_hit = 0.0
-    w_tot = 0.0
+    ratio = 0.0
     for i in range(n):
         ex = exact_ids[i]
         if ex.size == 0:
@@ -105,7 +128,8 @@ def graph_recall(
         got = set(int(g) for g, wt in zip(got_ids[i], got_w[i]) if wt > 0)
         inset = np.asarray([int(e) in got for e in ex])
         hit += float(inset.mean())
+        w_ex = float(exact_w[i].sum())
+        w_got = float(np.asarray(got_w[i], np.float64).sum())
+        ratio += min(w_got / max(w_ex, 1e-30), 1.0)
         cnt += 1
-        w_hit += float(exact_w[i][inset].sum())
-        w_tot += float(exact_w[i].sum())
-    return hit / max(cnt, 1), w_hit / max(w_tot, 1e-30)
+    return hit / max(cnt, 1), ratio / max(cnt, 1)

@@ -57,3 +57,50 @@ def test_cli_staged_tristate():
     assert parser.parse_args(["-i", "x", "-o", "y"]).staged is None
     assert parser.parse_args(["-i", "x", "-o", "y", "--staged"]).staged is True
     assert parser.parse_args(["-i", "x", "-o", "y", "--no-staged"]).staged is False
+
+
+def test_cli_fused_fault_falls_back_to_staged(tmp_path, monkeypatch):
+    """Runtime fault fallback (round-3 VERDICT #5): when the fused program
+    fails at run time (the >=465x700 kernel-fault mode, or a
+    compile-service OOM), the CLI must retry the pair in staged mode
+    instead of crashing the batch."""
+    import shutil
+
+    import numpy as np
+
+    from nct_tpu import cli
+
+    src = "/root/reference/demo/example/in"
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(f"{src}/in0.png", indir / "in0.png")
+    shutil.copy(f"{src}/tar0.png", indir / "tar0.png")
+    (tmp_path / "pairs.txt").write_text("in/in0.png in/tar0.png 2\n")
+    out = tmp_path / "out"
+
+    calls = {"fused": 0, "staged": 0}
+
+    def fused_boom(*a, **k):
+        calls["fused"] += 1
+        raise RuntimeError("simulated TPU kernel fault")
+
+    real_transfer = cli.transfer_pair
+
+    def staged_spy(*a, **k):
+        assert k.get("staged") is True
+        calls["staged"] += 1
+        cnt = a[1]
+        return np.zeros_like(np.asarray(cnt))
+
+    monkeypatch.setattr(cli, "transfer_pair_jit", fused_boom)
+    monkeypatch.setattr(cli, "transfer_pair", staged_spy)
+    try:
+        rc = cli.main([
+            "-i", str(tmp_path), "-o", str(out), "--size", "64",
+            "--no-staged", "--compile-cache", "none",
+        ])
+    finally:
+        monkeypatch.setattr(cli, "transfer_pair", real_transfer)
+    assert rc == 0
+    assert calls == {"fused": 1, "staged": 1}
+    assert (out / "in0_tar0_2.00.png").exists()

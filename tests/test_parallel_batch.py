@@ -160,6 +160,52 @@ def test_space_sharded_scatter_transpose(monkeypatch):
 
 
 @pytest.mark.slow
+def test_space_sharded_ring_plus_scatter_at_256px(monkeypatch):
+    """The MAX_SIZE sharding story at a REALISTIC geometry (round-3
+    VERDICT #7: the ring matcher and the scatter nonlocal transpose had
+    only been proven together at 64x48).  A real demo pair capped to
+    256 px (content 256x170), rows sharded over the mesh's space axis,
+    with BOTH MAX_SIZE mechanisms active at once:
+
+      * ring-scheduled exact-NN matcher (Config.space_mesh, ppermute
+        streaming instead of the style-table all-gather), and
+      * scatter-transpose nonlocal solve (forced via _TABLES_MAX_PAIRS=0,
+        as auto-selected above 3M pairs at 1000 px).
+
+    Sharded output must match the unsharded program statistically."""
+    from nct_tpu.io import imread_bgr
+    from nct_tpu.ops.resize import resize_bilinear
+    from nct_tpu.solve import nonlocal_solve as nl
+
+    monkeypatch.setattr(nl, "_TABLES_MAX_PAIRS", 0)
+    # 256x168: the 680x452 demo pair's aspect at 256 px, rows rounded to
+    # a multiple of the 8-way space axis (explicit row sharding requires
+    # divisibility).
+    cnt1 = jnp.asarray(np.asarray(resize_bilinear(
+        imread_bgr("/root/reference/demo/example/in/in0.png"), 168, 256))
+    ).astype(jnp.uint8)
+    stl1 = jnp.asarray(np.asarray(resize_bilinear(
+        imread_bgr("/root/reference/demo/example/in/tar0.png"), 160, 256))
+    ).astype(jnp.uint8)
+    cnt = cnt1[None]
+    stl = stl1[None]
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, dtype=jnp.uint32))
+    params = _params()
+
+    plain = make_batch_transfer(
+        dataclasses.replace(TINY, vgg_compute_dtype="float32")
+    )
+    want = np.asarray(plain(params, cnt, stl, keys, 2.0))
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    step = make_batch_transfer(TINY, mesh)
+    with mesh:
+        got = np.asarray(step(params, cnt, stl, keys, 2.0))
+    assert got.shape == (1,) + cnt1.shape
+    _assert_mostly_equal(got, want)
+
+
+@pytest.mark.slow
 def test_ring_pipeline_drops_style_all_gather():
     """Under space sharding the exact-NN levels route through the ring
     matcher (Config.space_mesh, round-2 VERDICT #4): the compiled

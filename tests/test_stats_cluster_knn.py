@@ -1,6 +1,7 @@
 """Tests: patch statistics, k-means clustering, k-NN graph."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -208,3 +209,64 @@ def test_multi_labels_for_pixels_primary_first():
     for y in range(2):
         for x in range(2):
             assert m[ml[y, x, 1], y, x]
+
+
+def test_knn_graph_matches_exact_reference_when_unconstrained():
+    """With its approximations OFF (all members as candidates, every
+    dilated membership queried), knn_graph must produce EXACTLY the
+    reference's graph (numpy-exact rebuild of findKnns/findSubKNNs/
+    sortMergeComputeWeight, solve/knn_exact.py).  Continuous random
+    colours so distance ties (ubiquitous with uint8-quantized Lab) don't
+    blur the id comparison — id recall must be 1.0, not just
+    weight-equivalent (round-3 VERDICT #5)."""
+    from nct_tpu.solve.knn_exact import exact_knn_graph, graph_recall
+
+    rng = np.random.default_rng(3)
+    h, w, stride = 48, 64, 4
+    lab = rng.uniform(0, 1, (h, w, 3))
+    for _ in range(2):
+        lab = (lab + np.roll(lab, 1, 0) + np.roll(lab, -1, 0)
+               + np.roll(lab, 1, 1) + np.roll(lab, -1, 1)) / 5
+    lab = jnp.asarray(lab.astype(np.float32))
+    lm = jnp.asarray(rng.integers(0, 10, (h // stride, w // stride))
+                     .astype(np.int32))
+    memb = cluster.cluster_membership(lm, 10)
+    member_pix = cluster.membership_for_pixels(memb, h, w, stride)
+    ex_ids, ex_w = exact_knn_graph(np.asarray(lab), np.asarray(member_pix), 8)
+
+    key = jax.random.PRNGKey(0)
+    cand = knn.sample_cluster_candidates(member_pix, key, h * w)
+    labels = cluster.multi_labels_for_pixels(lm, memb, h, w, stride, 5)
+    ids, ws, _ = knn.knn_graph(lab, labels, cand, k_num=8)
+    rid, rw = graph_recall(np.asarray(ids), np.asarray(ws), ex_ids, ex_w)
+    assert rid == pytest.approx(1.0, abs=1e-6)
+    assert rw == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_default_config_weight_recall_fence():
+    """The DEFAULT graph build (primary cluster only, 2048-candidate
+    subsample) must keep >= 99.9% of the exact reference graph's weight
+    (measured 0.9998 here and 0.99998 on the real in0 L3/L4 grids,
+    tools/knn_recall.py — unit-Lab distances are << 3 so any same-colour
+    tie-break is weight-equivalent; PERFORMANCE.md round-4 table)."""
+    from nct_tpu.solve.knn_exact import exact_knn_graph, graph_recall
+
+    rng = np.random.default_rng(3)
+    h, w, stride = 48, 64, 4
+    lab = rng.uniform(0, 1, (h, w, 3))
+    for _ in range(2):
+        lab = (lab + np.roll(lab, 1, 0) + np.roll(lab, -1, 0)
+               + np.roll(lab, 1, 1) + np.roll(lab, -1, 1)) / 5
+    lab = jnp.asarray(lab.astype(np.float32))
+    lm = jnp.asarray(rng.integers(0, 10, (h // stride, w // stride))
+                     .astype(np.int32))
+    memb = cluster.cluster_membership(lm, 10)
+    member_pix = cluster.membership_for_pixels(memb, h, w, stride)
+    ex_ids, ex_w = exact_knn_graph(np.asarray(lab), np.asarray(member_pix), 8)
+
+    key = jax.random.PRNGKey(0)
+    cand = knn.sample_cluster_candidates(member_pix, key, 2048)
+    labels = cluster.labels_for_pixels(lm, h, w, stride)
+    ids, ws, _ = knn.knn_graph(lab, labels, cand, k_num=8)
+    _, rw = graph_recall(np.asarray(ids), np.asarray(ws), ex_ids, ex_w)
+    assert rw >= 0.999

@@ -92,6 +92,7 @@ def main(argv=None) -> int:
         ("memberships=2", 2, min(2048, ah * aw)),
         ("memberships=3", 3, min(2048, ah * aw)),
         ("memberships=3 + full", 3, full_m),
+        ("memberships=4 + full", 4, full_m),
     ]:
         candidates = knn.sample_cluster_candidates(member_pix, ckey, m_cand)
         if memberships > 1:
@@ -103,7 +104,7 @@ def main(argv=None) -> int:
             lab_d, labels, candidates, k_num=config.k_num)
         rid, rw = graph_recall(
             np.asarray(ids), np.asarray(ws), ex_ids, ex_w)
-        print(f"| {name} | {m_cand} | {rid:.4f} | {rw:.4f} | |",
+        print(f"| {name} | {m_cand} | {rid:.4f} | {rw:.6f} | |",
               flush=True)
     return 0
 

@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--coarse-sweeps", type=int, default=None)
     ap.add_argument("--coarsest", type=int, default=None)
     ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--wls-iters", type=int, default=None,
+                    help="override wls_cg_iters_mg")
     args = ap.parse_args(argv)
 
     import jax
@@ -59,6 +61,8 @@ def main(argv=None) -> int:
     over = {"cg_iters_mg": args.iters}
     if args.tol is not None:
         over["cg_tol"] = args.tol
+    if args.wls_iters is not None:
+        over["wls_cg_iters_mg"] = args.wls_iters
     config = dataclasses.replace(Config(), **over)
     params = vgg19.init_params()
     key = jax.random.PRNGKey(7)
@@ -78,7 +82,8 @@ def main(argv=None) -> int:
         mae_src = np.abs(cnt.astype(int) - gold.astype(int)).mean()
         out_rows.append(mae_out / mae_src)
     tag = (f"iters={args.iters} cs={args.coarse_sweeps} "
-           f"coarsest={args.coarsest} tol={over.get('cg_tol', config.cg_tol)}")
+           f"coarsest={args.coarsest} tol={over.get('cg_tol', config.cg_tol)} "
+           f"wls={config.wls_cg_iters_mg}")
     print(f"{tag}: closures "
           + " ".join(f"p{i}={r:.3f}" for i, r in enumerate(out_rows))
           + f"  ({time.perf_counter() - t0:.0f}s)", flush=True)
