@@ -60,22 +60,22 @@ class Config:
     # (680x452 L0: r2 6.8e8 after its whole 200-iteration budget) while
     # mg-PCG passes it 18x at 30 iterations and converges arbitrarily
     # further (tools/wls_convergence.py; PERFORMANCE.md round-4).  The
-    # DEFAULT cap of 10 is a quality/speed point, not the convergence
+    # DEFAULT cap of 8 is a quality/speed point, not the convergence
     # limit: the closure sweep (tools/sweep_nl_quality.py) measures all
     # 5 demo pairs under their golden ceilings at caps 6-30 with closure
     # slightly BETTER at 6-10, and each mg iteration costs ~6x a Jacobi
-    # one at full res, so 10 is ~4x cheaper than the r03 jacobi-200
+    # one at full res, so 8 is ~5x cheaper than the r03 jacobi-200
     # budget per level.  Raise toward 30+ (or reference_parity's 100)
     # when exactness vs the direct solver matters more than latency.
     wls_precond: str = "mg"
-    wls_cg_iters_mg: int = 10
+    wls_cg_iters_mg: int = 8
     # Nonlocal-solve preconditioner: "mg" = multigrid V-cycle (reaches the
     # block-Jacobi budget's residual in ~1/8 the iterations on the real
     # Laplacian-dominated systems; see PERFORMANCE.md), "block_jacobi" =
     # the exact per-pixel 2x2 inverse (the round-1 default, kept for the
     # parity config).  The mg budgets below apply when nl_precond="mg".
     nl_precond: str = "mg"
-    # Coarse-level cap 12: round 3 raised this to 40 because the in1/tar1
+    # Coarse-level cap 10: round 3 raised this to 40 because the in1/tar1
     # demo pair's coarse solves left garish contrast spikes at 10 — but
     # the spikes were CG *error from the init*, not missing convergence:
     # the patch-stat a0 = sigma_ref/(sigma_src+eps) spikes to O(50) in
@@ -86,10 +86,10 @@ class Config:
     # the exact solution at 5 iterations than the raw init was at 40
     # (captured-system study + closure sweep, PERFORMANCE.md round-4;
     # tools/sweep_nl_quality.py: all 5 pairs under their test_golden
-    # ceilings at cap 10; 12 adds margin).  The finest level stays at 6 —
+    # ceilings at cap 10).  The finest level stays at 6 —
     # measured to not matter for this failure mode, and it dominates
     # solve cost.
-    cg_iters_mg: int = 12
+    cg_iters_mg: int = 10
     cg_iters_final_mg: int = 6
     # CG loop style: dynamic while_loop (early exit; best single-pair
     # latency) vs fixed-trip scan (vmapped while_loop serializes the whole

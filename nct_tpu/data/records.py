@@ -166,8 +166,12 @@ class RecordShardSource:
     a wrap-around cursor, rand_skip, and DataTransformer crop/mirror/mean.
 
     ``data_param { source, batch_size, rand_skip }`` — source is one shard
-    file, a directory of ``*.ncr`` shards, or a list file of shard paths
-    (the multi-file generalization of one LMDB directory)."""
+    file, a directory of ``*.ncr`` shards, a list file of shard paths
+    (the multi-file generalization of one LMDB directory), or an actual
+    LMDB environment (a directory holding ``data.mdb``, or the ``.mdb``
+    file itself) read by the pure-Python walker in lmdb_reader.py — the
+    reference's ``backend: LMDB`` ingestion path (db_lmdb.cpp) without a
+    conversion step."""
 
     def __init__(self, layer_cfg: dict, phase: str = "TRAIN",
                  seed: int = 0):
@@ -175,6 +179,39 @@ class RecordShardSource:
         source = str(dp.get("source"))
         self.batch_size = int(dp.get("batch_size", 1))
         paths: list[str]
+        if source.endswith(".mdb") or (
+            os.path.isdir(source)
+            and os.path.exists(os.path.join(source, "data.mdb"))
+        ):
+            from nct_tpu.data.lmdb_reader import LmdbReader
+
+            class _LmdbValues:
+                """RecordFile-shaped view over an LMDB's values (the
+                reference's cursor yields Datum values in key order)."""
+
+                def __init__(self, path):
+                    r = LmdbReader(path)
+                    self._vals = list(r.values())
+
+                def __len__(self):
+                    return len(self._vals)
+
+                def read(self, i):
+                    return self._vals[i]
+
+            paths = [source]
+            self.files = [_LmdbValues(source)]
+            self.sizes = [len(f) for f in self.files]
+            self.total = sum(self.sizes)
+            self.pos = 0
+            rng = np.random.default_rng(seed)
+            if dp.get("rand_skip"):
+                self.pos = int(rng.integers(0, int(dp["rand_skip"])))
+            from nct_tpu.data.image_data import DataTransformer
+
+            self.transform = DataTransformer(
+                layer_cfg.get("transform_param"), phase=phase, seed=seed)
+            return
         if os.path.isdir(source):
             paths = sorted(
                 os.path.join(source, p) for p in os.listdir(source)
