@@ -134,6 +134,14 @@ class Config:
     # the ~K*M candidate pixels, whose mean in-degree at 700 px is ~120 —
     # the cap trades CG-iteration gather rows for graph completeness.
     nl_in_cap: int = 128
+    # W^T application: "tables" (gather-only CG iterations; the build's
+    # rank chain is searchsorted-based since round 4, which the remote
+    # compile service handles at any size — the associative_scan variant
+    # it replaced stalled above ~3M pairs), "scatter" (per-iteration
+    # scatter-add, exact uncapped operator, ~450 ms/iteration at the
+    # 5.3M-pair MAX_SIZE L4 — TPU scatters with duplicate unsorted
+    # indices serialize), or "auto" (nonlocal_solve picks).
+    nl_transpose: str = "auto"
     # k-NN graph: how many of a pixel's (dilated) cluster memberships are
     # queried and merged.  1 = primary cluster only; >1 restores the
     # reference's multi-cluster kd-tree merge (ColorTransfer.cpp:397-423)

@@ -385,7 +385,8 @@ def _solve_nl(
         config.nonlocal_weight, iters=cg_iters, tol=config.cg_tol,
         candidates=candidates, nbr_slots=nbr_slots,
         precond_kind=config.nl_precond, dynamic=config.cg_dynamic,
-        in_cap=config.nl_in_cap, return_iters=True,
+        in_cap=config.nl_in_cap, transpose=config.nl_transpose,
+        return_iters=True,
     )
     return a_d, b_d, (nl_it, nl_r2)
 

@@ -247,13 +247,27 @@ def make_mg_preconditioner(
     return precond
 
 
-# Pair-axis size above which the in-edge TABLE build is not used by
-# default: its global argsort + associative_scan rank chain over the
-# [N*k] pair axis stalls the remote TPU compile service (the 465x700
-# L4 graph at 2.6M pairs compiles in minutes; 665x1000 at 5.3M pairs
-# never returns — round-3 bisection, tools/bisect_nl_compile.py), while
-# the scatter-transpose program at the same shape compiles in seconds.
-_TABLES_MAX_PAIRS = 3_000_000
+# Pair-axis size above which the in-edge table build computes segment
+# ranks via searchsorted instead of associative_scan: the global scan
+# over the [N*k] pair axis stalls the remote TPU compile service above
+# ~3M pairs (round-3 bisection — the 465x700 L4 graph at 2.6M compiles
+# in minutes; 665x1000 at 5.3M never returns), while argsort +
+# searchsorted at 5.3M compile in ~40 s and the full tables _solve_nl
+# in 70 s (round-4 probes, tools/bisect_nl_compile.py).  Below the
+# threshold the scan is kept: it is O(N*k) work at run time vs
+# searchsorted's O(N*k log N*k) gather rounds, and it leaves the
+# proven sub-3M programs' HLO untouched (compile-cache hits).
+_SCAN_MAX_PAIRS = 3_000_000
+
+# Auto-transpose threshold: "tables" at every real size since round 4
+# (the searchsorted build above removed the compile stall that round 3's
+# transpose="scatter" worked around; the scatter's per-iteration
+# unsorted 5.3M-row scatter-add measured ~450 ms — duplicate unsorted
+# scatter indices serialize on TPU — making the L4 nonlocal solve the
+# single largest cost of the 1000 px run, 2.7 s of 5.8).  The scatter
+# path remains the exact-uncapped-operator option and the fallback;
+# tests monkeypatch this to 0 to force it through "auto".
+_TABLES_MAX_PAIRS = 1 << 62
 
 
 def make_nonlocal_system(
@@ -391,14 +405,32 @@ def make_nonlocal_system(
     if transpose != "scatter":
         order = jnp.argsort(sort_key)
         sorted_t = flat_t[order]
-        # rank of each pair within its target segment (sorted order)
+        # rank of each pair within its target segment (sorted order).
+        # seg_first via searchsorted — the first occurrence index of each
+        # target in the (non-decreasing) sorted_t — NOT an
+        # associative_scan: the scan over the [N*k] pair axis is the one
+        # op the remote TPU compile service never returns on above ~3M
+        # pairs (round-3 bisection), while argsort+searchsorted at 5.3M
+        # compile in ~40 s (round-4 probes, tools/bisect_nl_compile.py).
         pos = jnp.arange(n * k, dtype=jnp.int32)
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), sorted_t[1:] != sorted_t[:-1]]
-        )
-        seg_first = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, pos, 0)
-        )
+        if n * k > _SCAN_MAX_PAIRS:
+            # first-occurrence index per TARGET, not per pair: the target
+            # universe (n_targets ~ 20k slots) is tiny next to the pair
+            # axis, so binary-search it once and gather — one [n_targets]
+            # searchsorted + one [N*k]-row gather instead of 5.3M binary
+            # searches.
+            offsets = jnp.searchsorted(
+                sorted_t, jnp.arange(n_targets, dtype=sorted_t.dtype),
+                side="left",
+            ).astype(jnp.int32)
+            seg_first = offsets[sorted_t]
+        else:
+            is_start = jnp.concatenate(
+                [jnp.ones((1,), bool), sorted_t[1:] != sorted_t[:-1]]
+            )
+            seg_first = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(is_start, pos, 0)
+            )
         rank = pos - seg_first
         keep = rank < in_max
         # in_tab[t, r] = pair slot (into the flat pair axis) or sentinel
@@ -410,8 +442,12 @@ def make_nonlocal_system(
             jnp.where(keep, sorted_t, n_targets - 1),
             jnp.where(keep, rank, in_max - 1),
         ].min(jnp.where(keep, order, n * k).astype(jnp.int32))
-        # zero overflowed pairs on the out side too (symmetry)
-        keep_by_pair = jnp.zeros((n * k,), bool).at[order].set(keep)
+        # zero overflowed pairs on the out side too (symmetry); `order`
+        # is a permutation, so the scatter rows are unique — without the
+        # hint TPU scatters assume possible duplicates and serialize
+        keep_by_pair = jnp.zeros((n * k,), bool).at[order].set(
+            keep, unique_indices=True
+        )
         pair_w = jnp.where(keep_by_pair.reshape(n, k), pair_w, 0.0)
         pair_w_flat = pair_w.reshape(n * k)
 

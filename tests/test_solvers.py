@@ -515,6 +515,42 @@ def test_nonlocal_scatter_transpose_matches_tables(rng):
             np.asarray(rhs_sc[0]), np.asarray(rhs_tab[0]), rtol=1e-6)
 
 
+def test_nonlocal_searchsorted_ranks_match_scan(rng, monkeypatch):
+    """The MAX_SIZE table build computes segment ranks via searchsorted
+    (the associative_scan it replaces stalls the remote compile service
+    above ~3M pairs, round-4 probes); both rank methods must produce the
+    IDENTICAL operator."""
+    from nct_tpu.solve import nonlocal_solve as nl
+
+    h, w = 3, 4
+    n = h * w
+    kc, m, k = 3, 5, 4
+    s = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    r = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, (h, w)).astype(np.float32)
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    nbr_slots = rng.integers(0, kc * m, (n, k)).astype(np.int32)
+    ids = candidates.reshape(-1)[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+    x = (jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32),
+         jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32))
+
+    outs = []
+    for scan_max in (1 << 62, 0):       # scan ranks vs searchsorted ranks
+        monkeypatch.setattr(nl, "_SCAN_MAX_PAIRS", scan_max)
+        op, _rhs, _pre = nl.make_nonlocal_system(
+            jnp.asarray(s), jnp.asarray(r), jnp.asarray(conf),
+            jnp.asarray(ids), jnp.asarray(wts), 4.0,
+            candidates=jnp.asarray(candidates),
+            nbr_slots=jnp.asarray(nbr_slots),
+            in_cap=2, transpose="tables",   # small cap: ranks decide keeps
+        )
+        outs.append(op(x))
+    for a_, b_ in zip(*outs):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=0, atol=0)
+
+
 def test_nonlocal_slot_path_ample_cap_exact_under_hub(rng):
     """Regression: with an ample in-cap (>= n*k) the slot-path operator
     must equal dense A^T A even when one slot is a hub absorbing EVERY

@@ -49,6 +49,8 @@ def main():
     config = Config()
     if VARIANT == "jacobi":
         config = dataclasses.replace(config, nl_precond="block_jacobi")
+    elif VARIANT == "mg_tables":
+        config = dataclasses.replace(config, nl_transpose="tables")
     elif VARIANT == "mg_scan":
         config = dataclasses.replace(config, cg_dynamic=False)
     elif VARIANT == "mg_shallow":

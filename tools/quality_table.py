@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--pairs", default="0,1,2,3,4")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--shared", action="store_true",
+                    help="resize every pair to ONE shared geometry "
+                    "(4:3 at --size) so the whole table runs through a "
+                    "single compiled program — the affordable mode under "
+                    "remote compilation (minutes per geometry otherwise)")
     ap.add_argument("--weights", default=_os.environ.get("NCT_VGG_WEIGHTS"))
     args = ap.parse_args(argv)
 
@@ -59,12 +64,24 @@ def main(argv=None) -> int:
     config = Config()
     parity = Config.reference_parity()
 
+    if args.shared:
+        sh, sw = (args.size * 2) // 3, args.size
+        sh -= sh % 4
+
     rows = []
     for i in (int(p) for p in args.pairs.split(",")):
-        cnt = np.asarray(cap_max_size(
-            imread_bgr(f"{EXAMPLE}/in/in{i}.png"), args.size))
-        stl = np.asarray(cap_max_size(
-            imread_bgr(f"{EXAMPLE}/in/tar{i}.png"), args.size))
+        if args.shared:
+            cnt = np.asarray(resize_bilinear(
+                imread_bgr(f"{EXAMPLE}/in/in{i}.png"), sh, sw)
+            ).astype(np.uint8)
+            stl = np.asarray(resize_bilinear(
+                imread_bgr(f"{EXAMPLE}/in/tar{i}.png"), sh, sw)
+            ).astype(np.uint8)
+        else:
+            cnt = np.asarray(cap_max_size(
+                imread_bgr(f"{EXAMPLE}/in/in{i}.png"), args.size))
+            stl = np.asarray(cap_max_size(
+                imread_bgr(f"{EXAMPLE}/in/tar{i}.png"), args.size))
         gold = np.asarray(resize_bilinear(
             imread_bgr(f"{EXAMPLE}/res/in{i}_tar{i}_2.00.png"),
             cnt.shape[0], cnt.shape[1]))
