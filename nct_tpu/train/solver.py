@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nct_tpu.train.lr_policies import LrPolicy, learning_rate
+from nct_tpu.utils import glog
 from nct_tpu.train.optimizers import OptimizerParams, make_optimizer
 
 
@@ -146,15 +147,18 @@ class Solver:
                     break
                 if stop_requested:
                     path = self.snapshot()
-                    print(f"signal received; snapshotted to {path}")
+                    glog.warning(f"signal received; snapshotted to {path}")
                     break
                 loss = self.step(batch)
                 if self.param.display and self.iter % self.param.display == 0:
-                    print(f"Iteration {self.iter}, loss = {loss}")
+                    # glog-format lines exactly like the reference's
+                    # LOG(INFO) training output (solver.cpp Step);
+                    # tools/parse_log.py regexes search past the prefix.
+                    glog.info(f"Iteration {self.iter}, loss = {loss}")
                     # the reference prints the effective rate alongside the
                     # loss (sgd_solver.cpp GetLearningRate display)
                     rate = learning_rate(self.param.lr, self.iter)
-                    print(f"Iteration {self.iter}, lr = {float(rate)}")
+                    glog.info(f"Iteration {self.iter}, lr = {float(rate)}")
                 if self.param.snapshot and self.iter % self.param.snapshot == 0:
                     self.snapshot()
                 if on_iter is not None:

@@ -22,6 +22,7 @@ from nct_tpu.nn.net import Net
 from nct_tpu.nn.prototxt import load_prototxt, parse_prototxt
 from nct_tpu.train.lr_policies import LrPolicy
 from nct_tpu.train.optimizers import OptimizerParams
+from nct_tpu.utils import glog
 from nct_tpu.train.solver import Solver, SolverParams
 
 # SolverParameter.solver_type enum and its modern string `type` field
@@ -209,9 +210,9 @@ class NetSolver:
             for t in names:
                 sums[t] += float(out[t])
         scores = {t: sums[t] / iters for t in names}
-        print(f"Iteration {self.solver.iter}, Testing net (#0)")
+        glog.info(f"Iteration {self.solver.iter}, Testing net (#0)")
         for i, t in enumerate(names):
-            print(f"    Test net output #{i}: {t} = {scores[t]:.6f}")
+            glog.info(f"    Test net output #{i}: {t} = {scores[t]:.6f}")
         return scores
 
     def solve(self, batches=None) -> float:

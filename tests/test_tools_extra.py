@@ -50,7 +50,8 @@ def test_net_solver_test_interval_prints_and_scores(capsys):
     ns = NetSolver(TEST_SOLVER)
     assert ns.test_net is not None
     ns.solve()
-    out = capsys.readouterr().out
+    cap = capsys.readouterr()
+    out = cap.out + cap.err      # training lines log through glog (stderr)
     # test_initialization eval at iter 0 plus every 4 iters
     assert out.count("Testing net (#0)") == 3, out
     assert "Test net output #0: loss =" in out
@@ -68,7 +69,8 @@ def test_parse_log_extracts_train_and_test_tables(tmp_path, capsys):
     ns = NetSolver(TEST_SOLVER)
     ns.solve()
     log = tmp_path / "train.log"
-    log.write_text(capsys.readouterr().out)
+    cap = capsys.readouterr()
+    log.write_text(cap.out + cap.err)   # glog lines land on stderr
     train_rows, test_rows = parse_log.parse_log(str(log))
     iters = [r["NumIters"] for r in train_rows]
     assert iters == [2, 4, 6, 8]

@@ -364,7 +364,8 @@ def test_caffe_tool_test_subcommand(tmp_path, capsys):
     """)
     rc = caffe_tool.main(["test", "--model", str(model), "--iterations", "3"])
     assert rc == 0
-    out = capsys.readouterr().out
+    cap = capsys.readouterr()
+    out = cap.out + cap.err      # scores log through glog (stderr)
     assert "loss = " in out and "acc = " in out
 
 
