@@ -207,6 +207,15 @@ def exact_nn_pallas_bidir(
         b_tile = auto_b
     fa, ma, na, na_pad, k, c = _prep_operands(a_norm, patch_size, a_tile)
     fb, mb, nb, nb_pad, _, _ = _prep_operands(b_norm, patch_size, b_tile)
+    # Materialize the patch tables BEFORE the kernel launch: letting XLA
+    # fuse/overlap the patchify+pad producers with the pallas_call
+    # kernel-faults the relayed TPU worker at specific small geometries
+    # (452 px L0, content 19x29 vs style 18x29 — round-4 bisection:
+    # prep alone passes, the raw pallas_call on materialized operands
+    # passes, their fusion faults; same composition-fault class as the
+    # round-3 465x700 _level_match fault).  Bitwise-neutral by
+    # construction.
+    fa, ma, fb, mb = jax.lax.optimization_barrier((fa, ma, fb, mb))
 
     ni, nj = na_pad // a_tile, nb_pad // b_tile
     da, ia, db, ib = pl.pallas_call(
