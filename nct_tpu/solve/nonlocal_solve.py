@@ -131,6 +131,7 @@ def make_mg_preconditioner(
     coarsest: int = 8,
     coarse_sweeps: int = 8,
     max_levels: int = 8,
+    barrier: bool = False,
 ):
     """Geometric-multigrid V-cycle preconditioner for the nonlocal system.
 
@@ -180,6 +181,17 @@ def make_mg_preconditioner(
         cwx = 0.25 * fx.reshape((h + ph) // 2, 2, -1).sum(axis=1)
         fy = jnp.pad(cwy, ((0, ph), (0, pw)))[1::2, :]   # [ch, w_pad]
         cwy = 0.25 * fy.reshape(-1, (w + pw) // 2, 2).sum(axis=2)
+
+    if barrier:
+        # Materialize the coarsening chain before the V-cycle consumes
+        # it: the vmapped full-resolution WLS program (batch 4 x 452 px)
+        # kernel-faults the relayed TPU worker when XLA fuses the
+        # Galerkin hierarchy build into the smoothing sweeps, while the
+        # same math with the hierarchy materialized runs fine — the
+        # round-4 composition-fault class (see ops/pallas_nn.py and
+        # PERFORMANCE.md).  Negligible cost: the hierarchy is built once
+        # per solve and is a few full-res arrays.
+        levels = jax.lax.optimization_barrier(levels)
 
     # red/black checkerboard masks per level (the 5-point grid Laplacian
     # is bipartite, so updating one color with the current residual IS an

@@ -102,7 +102,9 @@ def solve_wls(
 
     if precond_kind == "mg":
         zero = jnp.zeros_like(rough)
-        precond = make_mg_preconditioner(rough, zero, rough, gx2, gy2)
+        precond = make_mg_preconditioner(
+            rough, zero, rough, gx2, gy2, barrier=True
+        )
     else:
         diag = (rough[..., 0] + laplacian_degree(gx2, gy2))[..., None]
 
