@@ -201,3 +201,26 @@ def test_staged_subsplit_matches_staged(tiny_setup, monkeypatch):
     diff = np.abs(whole - split)
     assert (diff <= 2).mean() >= 0.95, (diff > 2).mean()
     assert diff.mean() <= 1.0, diff.mean()
+
+
+def test_transfer_pair_stats_trace(tiny_setup):
+    """return_intermediates="stats": the per-level solver-convergence
+    scalars (and ONLY scalars — no big intermediates) that
+    tools/profile_cg.py reads; nl/wls trip counts must be positive and
+    bounded by their configured caps."""
+    params, cnt, stl, config = tiny_setup
+    out, trace = transfer_pair(
+        params, cnt, stl, 2.0, config, key=jax.random.PRNGKey(1),
+        return_intermediates="stats",
+    )
+    assert out.shape == cnt.shape
+    assert len(trace) == config.num_levels
+    for lvl, tr in enumerate(trace):
+        assert set(tr) == {"level", "nl_iters", "nl_r2", "wls_iters",
+                           "wls_r2"}
+        assert tr["level"] == lvl
+        nl_cap = (config.cg_iters_final_mg if lvl == config.num_levels - 1
+                  else config.cg_iters_mg)
+        assert 1 <= int(tr["nl_iters"]) <= nl_cap
+        assert 1 <= int(tr["wls_iters"]) <= config.wls_cg_iters_mg
+        assert np.isfinite(float(tr["nl_r2"]))
