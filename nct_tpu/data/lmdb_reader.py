@@ -28,6 +28,7 @@ replaced by the u64 pgno of a contiguous overflow-page run.
 
 from __future__ import annotations
 
+import mmap
 import os
 import struct
 
@@ -62,8 +63,18 @@ class LmdbReader:
 
     def __init__(self, path: str):
         self.path = _resolve_path(path)
-        with open(self.path, "rb") as f:
-            self._buf = f.read()
+        # Memory-map rather than slurp: real Caffe LMDBs are tens of GB
+        # and the reference's cursor walk is itself over an mmap
+        # (db_lmdb.cpp / mdb_env_open).  Slices of an mmap copy only the
+        # sliced bytes, so per-value reads stay O(value).
+        self._f = open(self.path, "rb")
+        try:
+            self._buf = mmap.mmap(self._f.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            # zero-length or unmappable file: fall back to bytes
+            self._f.seek(0)
+            self._buf = self._f.read()
         meta = self._pick_meta()
         (self._psize_pad, _flags, self.depth, _b, _l, _o,
          self.entries, self.root) = _DB_STRUCT.unpack_from(
@@ -114,6 +125,7 @@ class LmdbReader:
         return off
 
     def _iter_page(self, pgno: int):
+        """Yield (key bytes, (value start, value length)) in key order."""
         off = self._page(pgno)
         flags, lower = struct.unpack_from("<HH", self._buf, off + 10)
         if flags & _P_LEAF2:
@@ -125,7 +137,7 @@ class LmdbReader:
             node = off + nptr
             lo, hi, nflags, ksize = struct.unpack_from(
                 "<HHHH", self._buf, node)
-            key = self._buf[node + 8: node + 8 + ksize]
+            key = bytes(self._buf[node + 8: node + 8 + ksize])
             if flags & _P_BRANCH:
                 child = lo | (hi << 16) | (nflags << 32)
                 yield from self._iter_page(child)
@@ -136,21 +148,35 @@ class LmdbReader:
             dpos = node + 8 + ksize
             if nflags & _F_BIGDATA:
                 opgno = struct.unpack_from("<Q", self._buf, dpos)[0]
-                ooff = self._page(opgno)
-                yield key, self._buf[
-                    ooff + _PAGEHDRSZ: ooff + _PAGEHDRSZ + dsize]
+                yield key, (self._page(opgno) + _PAGEHDRSZ, dsize)
             else:
-                yield key, self._buf[dpos: dpos + dsize]
+                yield key, (dpos, dsize)
 
-    def items(self):
-        """Yield (key bytes, value bytes) in key order (MDB_FIRST/NEXT)."""
+    def value_at(self, loc: tuple[int, int]) -> bytes:
+        """Materialize one value from a location yielded by item_locs()."""
+        start, length = loc
+        return bytes(self._buf[start: start + length])
+
+    def item_locs(self):
+        """Yield (key, (start, length)) without copying any value —
+        the lazy index a cursor over a multi-GB mapped file needs."""
         if self.root == _P_INVALID:
             return
         yield from self._iter_page(self.root)
 
+    def items(self):
+        """Yield (key bytes, value bytes) in key order (MDB_FIRST/NEXT)."""
+        for key, loc in self.item_locs():
+            yield key, self.value_at(loc)
+
     def values(self):
         for _k, v in self.items():
             yield v
+
+    def close(self) -> None:
+        if isinstance(self._buf, mmap.mmap):
+            self._buf.close()
+        self._f.close()
 
     def __len__(self) -> int:
         return int(self.entries)

@@ -187,17 +187,22 @@ class RecordShardSource:
 
             class _LmdbValues:
                 """RecordFile-shaped view over an LMDB's values (the
-                reference's cursor yields Datum values in key order)."""
+                reference's cursor yields Datum values in key order).
+                Holds only a (start, length) location per entry over the
+                reader's mmap — values materialize per read, so a
+                multi-GB environment costs O(entries) index memory, not
+                O(bytes) (matches db_lmdb.cpp's mapped-cursor behavior)."""
 
                 def __init__(self, path):
-                    r = LmdbReader(path)
-                    self._vals = list(r.values())
+                    self._reader = LmdbReader(path)
+                    self._locs = [loc for _k, loc
+                                  in self._reader.item_locs()]
 
                 def __len__(self):
-                    return len(self._vals)
+                    return len(self._locs)
 
                 def read(self, i):
-                    return self._vals[i]
+                    return self._reader.value_at(self._locs[i])
 
             paths = [source]
             self.files = [_LmdbValues(source)]

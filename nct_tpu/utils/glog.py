@@ -77,14 +77,17 @@ def error(msg: str) -> None:
     _emit(ERROR, msg)
 
 
-def fatal(msg: str) -> None:
-    _emit(FATAL, msg)
+def fatal(msg: str, _depth: int = 2) -> None:
+    # _depth: inspect.stack() index of the frame to attribute the line to
+    # (2 = fatal's direct caller; log() passes 3 so the emitted file:line
+    # points at the external call site, not at glog.py itself).
+    _emit(FATAL, msg, depth=_depth)
     raise CheckError(msg)
 
 
 def log(level: int, msg: str) -> None:
     if level >= FATAL:
-        fatal(msg)
+        fatal(msg, _depth=3)
     else:
         _emit(level, msg)
 

@@ -86,3 +86,14 @@ def test_parse_log_reads_glog_prefixed_lines(stream, tmp_path):
     train_rows, _ = parse_log.parse_log(str(log))
     assert train_rows[0]["NumIters"] == 2
     assert train_rows[0]["loss"] == pytest.approx(0.5)
+
+
+def test_log_fatal_attributes_external_callsite(stream):
+    """glog.log(FATAL, ...) must emit THIS file:line, not glog.py's own
+    fatal() frame (ADVICE r04: the depth-2 resolution pointed the line at
+    glog.py for the log()->fatal() path)."""
+    with pytest.raises(glog.CheckError):
+        glog.log(glog.FATAL, "boom")
+    line = stream.getvalue().strip()
+    assert "test_glog.py" in line
+    assert " glog.py" not in line
