@@ -402,7 +402,23 @@ def make_nonlocal_system(
             # (the contract tests/test_solvers.py probes)
             in_max = n * k
         else:
-            in_max = min(max(8, (3 * mean_in + 1) // 2), in_cap, n * k)
+            # The configured cap must never clamp below the mean
+            # in-degree: at the MAX_SIZE L4 geometry (5.3M pairs over
+            # ~20k slots, mean_in ~260 > nl_in_cap 128) a hard clamp
+            # silently zeroes roughly half the nonlocal edges (ADVICE
+            # r04).  Keep the 3*mean_in/2 hub headroom as the width and
+            # let in_cap bound it only from above the headroom.
+            headroom = (3 * mean_in + 1) // 2
+            eff_cap = max(in_cap, headroom)
+            in_max = min(max(8, headroom), eff_cap, n * k)
+            if eff_cap > in_cap:
+                from nct_tpu.utils import glog
+                glog.warning(
+                    f"nonlocal in-edge tables: mean in-degree {mean_in} "
+                    f"(pairs={n * k}, slots={n_slots}) exceeds the "
+                    f"configured cap {in_cap}; widening tables to "
+                    f"{in_max} so only hub overflow beyond 1.5x the "
+                    f"mean is dropped")
         flat_t = nbr_slots.reshape(-1).astype(jnp.int32)  # pair -> slot
         sort_key = flat_t.astype(jnp.float32) * 16.0 - jnp.clip(
             pair_w.reshape(-1), 0.0, 15.0

@@ -633,3 +633,50 @@ def test_nonlocal_slot_path_capped_stays_symmetric(rng):
         np.testing.assert_allclose(
             dot(u, operator(v)), dot(operator(u), v), rtol=2e-4
         )
+
+
+def test_nonlocal_in_cap_auto_raises_above_mean_degree(rng):
+    """When the mean in-degree per slot exceeds the configured in-edge
+    cap (the MAX_SIZE L4 regime: ~5.3M pairs over ~20k slots, mean ~260
+    vs nl_in_cap 128), the table width must auto-raise to the mean-degree
+    headroom instead of silently zeroing ~half the edges (ADVICE r04).
+    With a perfectly balanced slot assignment (every slot exactly mean_in
+    in-edges, under the 1.5x headroom) the capped-table operator must
+    therefore equal the exact scatter-transpose operator even though
+    in_cap << mean_in."""
+    from nct_tpu.solve.nonlocal_solve import make_nonlocal_system
+
+    h, w = 4, 6
+    n = h * w
+    kc, m, k = 1, 4, 8          # 4 slots, n*k=192 pairs -> mean_in = 48
+    s = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    r = rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, (h, w)).astype(np.float32)
+    candidates = rng.integers(0, n, (kc, m)).astype(np.int32)
+    # round-robin slots: every slot gets exactly n*k/(kc*m) in-edges
+    nbr_slots = (np.arange(n * k).reshape(n, k) % (kc * m)).astype(np.int32)
+    ids = candidates.reshape(-1)[nbr_slots]
+    wts = rng.uniform(0.3, 2.0, (n, k)).astype(np.float32)
+    x = (jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32),
+         jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32))
+
+    op_cap, _, _ = make_nonlocal_system(
+        jnp.asarray(s), jnp.asarray(r), jnp.asarray(conf),
+        jnp.asarray(ids), jnp.asarray(wts), 4.0,
+        candidates=jnp.asarray(candidates),
+        nbr_slots=jnp.asarray(nbr_slots),
+        in_cap=8, transpose="tables",     # cap 8 << mean_in 48
+    )
+    op_exact, _, _ = make_nonlocal_system(
+        jnp.asarray(s), jnp.asarray(r), jnp.asarray(conf),
+        jnp.asarray(ids), jnp.asarray(wts), 4.0,
+        candidates=jnp.asarray(candidates),
+        nbr_slots=jnp.asarray(nbr_slots),
+        transpose="scatter",
+    )
+    ca, cb = op_cap(x)
+    ea, eb = op_exact(x)
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(ea),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(eb),
+                               rtol=1e-5, atol=1e-5)
