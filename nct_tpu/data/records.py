@@ -167,11 +167,13 @@ class RecordShardSource:
 
     ``data_param { source, batch_size, rand_skip }`` — source is one shard
     file, a directory of ``*.ncr`` shards, a list file of shard paths
-    (the multi-file generalization of one LMDB directory), or an actual
+    (the multi-file generalization of one LMDB directory), an actual
     LMDB environment (a directory holding ``data.mdb``, or the ``.mdb``
-    file itself) read by the pure-Python walker in lmdb_reader.py — the
-    reference's ``backend: LMDB`` ingestion path (db_lmdb.cpp) without a
-    conversion step."""
+    file itself) read by the pure-Python walker in lmdb_reader.py, or a
+    LevelDB environment (a directory holding ``CURRENT``) read by
+    leveldb_reader.py — the reference's ``backend: LMDB`` / ``LEVELDB``
+    ingestion paths (db_lmdb.cpp, db_leveldb.cpp) without a conversion
+    step."""
 
     def __init__(self, layer_cfg: dict, phase: str = "TRAIN",
                  seed: int = 0):
@@ -179,22 +181,31 @@ class RecordShardSource:
         source = str(dp.get("source"))
         self.batch_size = int(dp.get("batch_size", 1))
         paths: list[str]
-        if source.endswith(".mdb") or (
+        is_lmdb = source.endswith(".mdb") or (
             os.path.isdir(source)
             and os.path.exists(os.path.join(source, "data.mdb"))
-        ):
-            from nct_tpu.data.lmdb_reader import LmdbReader
+        )
+        is_leveldb = not is_lmdb and (
+            os.path.isdir(source)
+            and os.path.exists(os.path.join(source, "CURRENT"))
+        )
+        if is_lmdb or is_leveldb:
+            if is_lmdb:
+                from nct_tpu.data.lmdb_reader import LmdbReader as _Reader
+            else:
+                from nct_tpu.data.leveldb_reader import (
+                    LevelDbReader as _Reader)
 
-            class _LmdbValues:
-                """RecordFile-shaped view over an LMDB's values (the
-                reference's cursor yields Datum values in key order).
-                Holds only a (start, length) location per entry over the
-                reader's mmap — values materialize per read, so a
-                multi-GB environment costs O(entries) index memory, not
-                O(bytes) (matches db_lmdb.cpp's mapped-cursor behavior)."""
+            class _DbValues:
+                """RecordFile-shaped view over a DB's values (the
+                reference's cursor yields Datum values in key order —
+                db_lmdb.cpp / db_leveldb.cpp behind the db.cpp factory).
+                Holds only a location per entry — values materialize per
+                read, so a multi-GB environment costs O(entries) index
+                memory, not O(bytes)."""
 
                 def __init__(self, path):
-                    self._reader = LmdbReader(path)
+                    self._reader = _Reader(path)
                     self._locs = [loc for _k, loc
                                   in self._reader.item_locs()]
 
@@ -205,7 +216,7 @@ class RecordShardSource:
                     return self._reader.value_at(self._locs[i])
 
             paths = [source]
-            self.files = [_LmdbValues(source)]
+            self.files = [_DbValues(source)]
             self.sizes = [len(f) for f in self.files]
             self.total = sum(self.sizes)
             self.pos = 0
