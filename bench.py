@@ -176,6 +176,14 @@ def main() -> None:
         scan_dt = max(time.perf_counter() - t0 - readout, 1e-3)
         scan_mps = round(4 * mp / scan_dt, 4)
 
+    # MFU / roofline accounting (VERDICT r04 #5): analytic FLOP + HBM
+    # byte counts for this exact geometry (nct_tpu/utils/flops.py; the
+    # matmul-stage counts are exact, the solver stages first-order)
+    from nct_tpu.utils import flops as flops_mod
+
+    counts = flops_mod.pipeline_counts(
+        cnt.shape[0], cnt.shape[1], stl.shape[0], stl.shape[1], config)
+    total = counts["total"]
     print(json.dumps({
         "metric": "e2e_megapixels_per_sec",
         "value": round(mps, 4),
@@ -185,6 +193,11 @@ def main() -> None:
         "median_s": round(dt, 4),
         "reps_s": [round(r, 4) for r in reps],
         "scan_mps": scan_mps,
+        "analytic_gflops": round(total["flops"] / 1e9, 1),
+        "analytic_hbm_gb": round(total["bytes"] / 1e9, 3),
+        "mfu": round(flops_mod.mfu(total["flops"], dt), 5),
+        "hbm_frac": round(
+            total["bytes"] / (dt * flops_mod.V5E_HBM_BW), 4),
     }))
 
 

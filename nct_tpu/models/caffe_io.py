@@ -163,6 +163,29 @@ def array_to_blobproto(arr: np.ndarray, diff: np.ndarray | None = None
     return bytes(out)
 
 
+def write_caffemodel(path: str,
+                     layers: dict[str, list[np.ndarray]]) -> None:
+    """Serialize {layer_name: [blob arrays]} as a .caffemodel
+    (NetParameter with ``layer`` LayerParameter messages: name=1,
+    blobs=7 — the wire format net.cpp:760-824 loads and read_caffemodel
+    parses).  Used to export trained nets for Caffe interop and to
+    rehearse the weight-arming path end to end without the pretrained
+    download (VERDICT r04 #8)."""
+    out = bytearray()
+    for name, blobs in layers.items():
+        body = bytearray()
+        nb = name.encode("utf-8")
+        body += b"\x0a" + _encode_varint(len(nb)) + nb          # name=1
+        for arr in blobs:
+            bp = array_to_blobproto(arr)
+            body += b"\x3a" + _encode_varint(len(bp)) + bp      # blobs=7
+        # NetParameter.layer = field 100, wire type LEN
+        out += _encode_varint((100 << 3) | 2)
+        out += _encode_varint(len(body)) + bytes(body)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def blobproto_to_array(payload: bytes, return_diff: bool = False
                        ) -> np.ndarray:
     """BlobProto wire bytes -> ndarray (pycaffe io.blobproto_to_array);
