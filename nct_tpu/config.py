@@ -122,6 +122,12 @@ class Config:
     # suffice (SSIM 0.998 vs 8 rescores at 192 px; each rescore is an
     # Ha*Wa-row gather of K*C-wide patch rows).
     window_shortlist: int = 2
+    # Stage-1 ranking channel subset (0 = all): the centre-distance
+    # gathers are the window refine's dominant HBM traffic and only feed
+    # the shortlist RANKING — stage 2 rescores exactly and keeps the
+    # incumbent — so halving the channels halves the stage's traffic at
+    # bounded shortlist-quality cost.  A MAX_SIZE tuning knob.
+    window_stage1_channels: int = 0
     # Force optimization_barrier sequencing of the two window-refine
     # directions (+ the BDS stage) inside _level_match.  Auto-enabled by
     # geometry above pipeline._SERIALIZE_PIXELS — the measured boundary

@@ -42,19 +42,32 @@ import jax.numpy as jnp
 from nct_tpu.ops.patchmatch import patchify
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "shortlist", "patch_size"),
-)
-def window_refine(
+def _shift_set(radius: int):
+    """Dense +-radius window plus sparse far rings (8 compass points at
+    2r and 4r): the reference's random search reaches radius 32 at the
+    finest level (main.cu:77-83); the rings restore that reach for
+    pixels whose upsampled seed is off, at ~20% more centre evals."""
+    dxs = list(range(-radius, radius + 1))
+    dense = [(dx, dy) for dy in dxs for dx in dxs]
+    rings = [
+        (r * sx, r * sy)
+        for r in (2 * radius, 4 * radius)
+        for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1))
+    ]
+    return dxs, dense, rings
+
+
+def _window_refine_impl(
     a_norm: jnp.ndarray,
     b_norm: jnp.ndarray,
     nnf0: jnp.ndarray,
     radius: int = 4,
     shortlist: int = 8,
     patch_size: int = 3,
+    stage1_channels: int = 0,
 ):
-    """Refine nnf0 (a->b) within a +-radius window.
+    """Refine nnf0 (a->b) within a +-radius window (unbatched body).
 
     Returns (nnf [Ha,Wa,2] int32, annd [Ha,Wa] f32 full patch metric).
     """
@@ -65,19 +78,8 @@ def window_refine(
     a32 = a_norm.astype(jnp.bfloat16)
     b16 = b_norm.astype(jnp.bfloat16)
 
-    # Dense +-radius window plus sparse far rings (8 compass points at
-    # 2r and 4r): the reference's random search reaches radius 32 at the
-    # finest level (main.cu:77-83); the rings restore that reach for
-    # pixels whose upsampled seed is off, at ~20% more centre evals.
     # Never regresses: stage 2 rescoring keeps the incumbent.
-    dxs = list(range(-radius, radius + 1))
-    dense = [(dx, dy) for dy in dxs for dx in dxs]
-    rings = [
-        (r * sx, r * sy)
-        for r in (2 * radius, 4 * radius)
-        for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1),
-                       (1, 1), (1, -1), (-1, 1), (-1, -1))
-    ]
+    dxs, dense, rings = _shift_set(radius)
     shift_list = dense + rings
     shifts = jnp.asarray(shift_list, dtype=jnp.int32)       # [S2, 2]
     n_shifts = len(shift_list)
@@ -100,22 +102,30 @@ def window_refine(
     # pass).  Off-image shifts are masked to +inf (the reference's
     # random search simply never proposes them); the (0,0) shift is
     # always valid, and stage 2 keeps the incumbent regardless.
+    # stage-1 may rank on a channel SUBSET (stage1_channels > 0): the
+    # centre-distance gathers are the stage's dominant HBM traffic and
+    # ranking tolerates an approximate metric — stage 2's EXACT rescore
+    # plus the incumbent guarantee bound the damage to shortlist
+    # quality (a MAX_SIZE tuning knob; 0 = all channels, the default).
+    cs = c if stage1_channels <= 0 else min(stage1_channels, c)
+    a1 = a32 if cs == c else a32[..., :cs]
+    b1 = b16 if cs == c else b16[..., :cs]
     idx0 = by0 * wb + bx0                                   # in-bounds
     strip = jnp.concatenate(
-        [jnp.roll(b16, shift=-dx, axis=1) for dx in dxs], axis=-1
-    ).reshape(nb, nd * c)
+        [jnp.roll(b1, shift=-dx, axis=1) for dx in dxs], axis=-1
+    ).reshape(nb, nd * cs)
     d_rows = []
     for dy in dxs:
         idx = jnp.clip(idx0 + dy * wb, 0, nb - 1)
-        g = strip[idx.reshape(-1)].reshape(ha, wa, nd, c)
-        d = -jnp.sum(a32[:, :, None, :] * g, axis=-1, dtype=jnp.float32)
+        g = strip[idx.reshape(-1)].reshape(ha, wa, nd, cs)
+        d = -jnp.sum(a1[:, :, None, :] * g, axis=-1, dtype=jnp.float32)
         d_rows.append(jnp.moveaxis(d, -1, 0))               # [nd, Ha, Wa]
     ring_idx = jnp.stack(
         [jnp.clip(idx0 + dy * wb + dx, 0, nb - 1) for dx, dy in rings]
     )                                                       # [R, Ha, Wa]
-    gr = b16.reshape(nb, c)[ring_idx]                       # [R, Ha, Wa, C]
+    gr = b1.reshape(nb, cs)[ring_idx]                       # [R, Ha, Wa, Cs]
     d_rows.append(
-        -jnp.sum(a32[None] * gr, axis=-1, dtype=jnp.float32)
+        -jnp.sum(a1[None] * gr, axis=-1, dtype=jnp.float32)
     )
     d_center = jnp.concatenate(d_rows, axis=0)              # [S2, Ha, Wa]
     sdx = shifts[:, 0][:, None, None]
@@ -197,3 +207,179 @@ def window_refine(
         best_d = jnp.where(better, d, best_d)
 
     return jnp.stack([best_x, best_y], axis=-1), best_d
+
+
+def _window_refine_folded(
+    a_norm: jnp.ndarray,       # [B, Ha, Wa, C]
+    b_norm: jnp.ndarray,       # [B, Hb, Wb, C]
+    nnf0: jnp.ndarray,         # [B, Ha, Wa, 2]
+    radius: int,
+    shortlist: int,
+    patch_size: int,
+    stage1_channels: int = 0,
+):
+    """Batch-in-rows window refine: per-image strip/patch tables stack
+    into ONE flat table and every gather's index carries a b*Nb row
+    offset, so the vmapped lowering's batched gathers (measured 1.49x
+    per-item cost at batch 4, the round-4 serving table) become the
+    plain wide row gathers the single-image program was tuned around.
+    Per-image results are bitwise the unbatched ones."""
+    bsz, ha, wa, c = a_norm.shape
+    _, hb, wb, _ = b_norm.shape
+    nb = hb * wb
+
+    a32 = a_norm.astype(jnp.bfloat16)
+    b16 = b_norm.astype(jnp.bfloat16)
+    dxs, dense, rings = _shift_set(radius)
+    shift_list = dense + rings
+    shifts = jnp.asarray(shift_list, dtype=jnp.int32)
+    n_shifts = len(shift_list)
+    nd = len(dxs)
+
+    bx0 = nnf0[..., 0]
+    by0 = nnf0[..., 1]
+    boff = (jnp.arange(bsz, dtype=jnp.int32) * nb)[:, None, None]
+
+    cs = c if stage1_channels <= 0 else min(stage1_channels, c)
+    a1 = a32 if cs == c else a32[..., :cs]
+    b1 = b16 if cs == c else b16[..., :cs]
+    idx0 = by0 * wb + bx0                                  # [B, Ha, Wa]
+    strip = jnp.concatenate(
+        [jnp.roll(b1, shift=-dx, axis=2) for dx in dxs], axis=-1
+    ).reshape(bsz * nb, nd * cs)
+    d_rows = []
+    for dy in dxs:
+        idx = jnp.clip(idx0 + dy * wb, 0, nb - 1) + boff
+        g = strip[idx.reshape(-1)].reshape(bsz, ha, wa, nd, cs)
+        d = -jnp.sum(a1[:, :, :, None, :] * g, axis=-1,
+                     dtype=jnp.float32)
+        d_rows.append(jnp.moveaxis(d, -1, 1))              # [B, nd, Ha, Wa]
+    ring_idx = jnp.stack(
+        [jnp.clip(idx0 + dy * wb + dx, 0, nb - 1) + boff
+         for dx, dy in rings], axis=1,
+    )                                                      # [B, R, Ha, Wa]
+    gr = b1.reshape(bsz * nb, cs)[ring_idx]              # [B, R, Ha, Wa, Cs]
+    d_rows.append(
+        -jnp.sum(a1[:, None] * gr, axis=-1, dtype=jnp.float32)
+    )
+    d_center = jnp.concatenate(d_rows, axis=1)             # [B, S2, Ha, Wa]
+    sdx = shifts[:, 0][None, :, None, None]
+    sdy = shifts[:, 1][None, :, None, None]
+    valid = (
+        (bx0[:, None] + sdx >= 0) & (bx0[:, None] + sdx < wb)
+        & (by0[:, None] + sdy >= 0) & (by0[:, None] + sdy < hb)
+    )
+    d_center = jnp.where(valid, d_center, jnp.inf)
+
+    finite = jnp.isfinite(d_center)
+    win = (1, 1, patch_size, patch_size)
+    num = jax.lax.reduce_window(
+        jnp.where(finite, d_center, 0.0), 0.0, jax.lax.add,
+        win, (1, 1, 1, 1), "SAME",
+    )
+    cnt = jax.lax.reduce_window(
+        finite.astype(jnp.float32), 0.0, jax.lax.add,
+        win, (1, 1, 1, 1), "SAME",
+    )
+    d_patch = jnp.where(cnt > 0, num / cnt, jnp.inf)
+
+    s_count = min(shortlist, n_shifts)
+    work = d_patch
+    picks = []
+    for _ in range(s_count):
+        j = jnp.argmin(work, axis=1)                       # [B, Ha, Wa]
+        picks.append(j)
+        onehot = (
+            jnp.arange(n_shifts, dtype=jnp.int32)[None, :, None, None]
+            == j[:, None]
+        )
+        work = jnp.where(onehot, jnp.inf, work)
+
+    pfy = functools.partial(patchify, patch_size=patch_size)
+    pa, pam = jax.vmap(pfy)(a32)
+    pb, pbm = jax.vmap(pfy)(b_norm.astype(jnp.bfloat16))
+    k = pa.shape[3]
+    pa_f = pa.reshape(bsz, ha, wa, k * c)
+    pb_flat = pb.reshape(bsz * nb, k * c)
+    pam_f = pam.astype(jnp.bfloat16)
+    pbm_flat = pbm.astype(jnp.bfloat16).reshape(bsz * nb, k)
+
+    def full_eval(cand_x, cand_y):
+        flat = jnp.clip(cand_y * wb + cand_x, 0, nb - 1) + boff
+        g = pb_flat[flat]                       # [B, Ha, Wa, K*C]
+        gm = pbm_flat[flat]                     # [B, Ha, Wa, K]
+        num = -jnp.einsum(
+            "bhwd,bhwd->bhw", pa_f, g, preferred_element_type=jnp.float32
+        )
+        cnt2 = jnp.einsum(
+            "bhwk,bhwk->bhw", pam_f, gm,
+            preferred_element_type=jnp.float32
+        )
+        return jnp.where(cnt2 > 0, num / jnp.maximum(cnt2, 1.0), 1.0)
+
+    best_x, best_y = bx0, by0
+    best_d = full_eval(bx0, by0)
+    for j in picks:
+        sx = shifts[:, 0][j]
+        sy = shifts[:, 1][j]
+        cx = jnp.clip(bx0 + sx, 0, wb - 1)
+        cy = jnp.clip(by0 + sy, 0, hb - 1)
+        d = full_eval(cx, cy)
+        better = d < best_d
+        best_x = jnp.where(better, cx, best_x)
+        best_y = jnp.where(better, cy, best_y)
+        best_d = jnp.where(better, d, best_d)
+
+    return jnp.stack([best_x, best_y], axis=-1), best_d
+
+
+@functools.lru_cache(maxsize=None)
+def _window_refine_custom_vmap(radius: int, shortlist: int,
+                               patch_size: int, stage1_channels: int):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(a_norm, b_norm, nnf0):
+        return _window_refine_impl(a_norm, b_norm, nnf0, radius,
+                                   shortlist, patch_size,
+                                   stage1_channels)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, a_norm, b_norm, nnf0):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+
+        out = _window_refine_folded(
+            bcast(a_norm, in_batched[0]), bcast(b_norm, in_batched[1]),
+            bcast(nnf0, in_batched[2]), radius, shortlist, patch_size,
+            stage1_channels)
+        return out, (True, True)
+
+    return f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "shortlist", "patch_size",
+                     "stage1_channels"),
+)
+def window_refine(
+    a_norm: jnp.ndarray,
+    b_norm: jnp.ndarray,
+    nnf0: jnp.ndarray,
+    radius: int = 4,
+    shortlist: int = 8,
+    patch_size: int = 3,
+    stage1_channels: int = 0,
+):
+    """Refine nnf0 (a->b) within a +-radius window (see
+    _window_refine_impl; under jax.vmap the batch folds into the table
+    row axis — _window_refine_folded).
+
+    Returns (nnf [Ha,Wa,2] int32, annd [Ha,Wa] f32 full patch metric).
+    """
+    return _window_refine_custom_vmap(
+        int(radius), int(shortlist), int(patch_size),
+        int(stage1_channels),
+    )(a_norm, b_norm, nnf0)

@@ -158,6 +158,7 @@ def _level_match(
         ann, _ = window_refine.window_refine(
             fc_n, fs_n, ann0, config.window_radius,
             config.window_shortlist, config.patch_size,
+            config.window_stage1_channels,
         )
         if serialize:
             ann, fc_n, fs_n, bnn0 = jax.lax.optimization_barrier(
@@ -165,6 +166,7 @@ def _level_match(
         bnn, _ = window_refine.window_refine(
             fs_n, fc_n, bnn0, config.window_radius,
             config.window_shortlist, config.patch_size,
+            config.window_stage1_channels,
         )
         if serialize:
             ann, bnn, down_stl, fs, fc_n = jax.lax.optimization_barrier(
@@ -244,6 +246,7 @@ def _match_search_dir(
         field, _ = window_refine.window_refine(
             fa_n, fb_n, f0, config.window_radius,
             config.window_shortlist, config.patch_size,
+            config.window_stage1_channels,
         )
     else:
         if l == 0:

@@ -52,15 +52,14 @@ def sample_cluster_candidates(
     return jnp.where(member_rank >= 0.0, idx, first).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_num", "chunk"))
-def knn_graph(
+def _knn_graph_impl(
     lab_unit: jnp.ndarray,
     pixel_labels: jnp.ndarray,
     candidates: jnp.ndarray,
     k_num: int = 8,
     chunk: int = 2048,
 ):
-    """Build the nonlocal k-NN graph.
+    """Build the nonlocal k-NN graph (unbatched body; see knn_graph).
 
     lab_unit: [H, W, 3] float Lab in [0, 1] (ref queries cntLabD,
     ColorTransfer.cpp:150-169).  pixel_labels: [H, W] int32 primary cluster
@@ -158,6 +157,77 @@ def knn_graph(
         weights.reshape(-1, k_num)[:n],
         slots.reshape(-1, k_num)[:n],
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _knn_custom_vmap(k_num: int, chunk: int):
+    """custom_vmap wrapper: a vmapped knn_graph (the multi-chip serving
+    program) folds the batch into the ROW axis instead of lowering
+    batched gathers — B images become ONE flat problem whose pixel ids
+    and cluster ids carry per-image offsets (clusters are disjoint
+    across images, so per-pixel results are bitwise the single-image
+    ones).  The vmapped lowering measured 1.78x per-item cost at batch 4
+    (round-4 serving table); the folded build runs the SAME proven
+    single-image program at B x the rows, so per-item scaling is 1.0 by
+    construction."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(lab_unit, pixel_labels, candidates):
+        return _knn_graph_impl(lab_unit, pixel_labels, candidates,
+                               k_num, chunk)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lab_unit, pixel_labels, candidates):
+        bsz = axis_size
+
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (bsz,) + x.shape)
+
+        lab_unit = bcast(lab_unit, in_batched[0])
+        pixel_labels = bcast(pixel_labels, in_batched[1])
+        candidates = bcast(candidates, in_batched[2])
+        multi = pixel_labels.ndim == 4          # [B, H, W, P] memberships
+        if multi:
+            # the multi-membership merge path keeps plain vmap semantics
+            out = jax.vmap(
+                lambda l, pl, cd: _knn_graph_impl(l, pl, cd, k_num, chunk)
+            )(lab_unit, pixel_labels, candidates)
+            return out, (True, True, True)
+
+        _b, h, w, _ = lab_unit.shape
+        n = h * w
+        kc, m = candidates.shape[1:]
+        boff = jnp.arange(bsz, dtype=jnp.int32)
+        colors = lab_unit.astype(jnp.float32).reshape(bsz * n, 3)
+        labels_off = (pixel_labels.reshape(bsz, n).astype(jnp.int32)
+                      + boff[:, None] * kc).reshape(bsz * n)
+        cands_off = (candidates.astype(jnp.int32)
+                     + boff[:, None, None] * n).reshape(bsz * kc, m)
+        ids, wts, slots = _knn_graph_sorted(
+            colors, labels_off, cands_off, k_num, chunk)
+        ids = ids.reshape(bsz, n, k_num) - boff[:, None, None] * n
+        slots = (slots.reshape(bsz, n, k_num)
+                 - boff[:, None, None] * (kc * m))
+        return (ids, wts.reshape(bsz, n, k_num), slots), (True, True, True)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("k_num", "chunk"))
+def knn_graph(
+    lab_unit: jnp.ndarray,
+    pixel_labels: jnp.ndarray,
+    candidates: jnp.ndarray,
+    k_num: int = 8,
+    chunk: int = 2048,
+):
+    """Build the nonlocal k-NN graph (see _knn_graph_impl for the
+    algorithm; under jax.vmap the batch folds into the row axis —
+    _knn_custom_vmap)."""
+    return _knn_custom_vmap(int(k_num), int(chunk))(
+        lab_unit, pixel_labels, candidates)
 
 
 def _knn_graph_sorted(

@@ -53,24 +53,35 @@ def gradient_weights(lab_unit_l: jnp.ndarray, lam: float, alpha: float):
     return gx, gy
 
 
+def _edge_w(w: jnp.ndarray) -> jnp.ndarray:
+    """Edge weights broadcastable against [H, W, C] values: a [H, W]
+    map gains a channel axis; a per-channel [H, W, C] map (the
+    batch-folded layout, solve_wls_batched) passes through."""
+    return w[:, :, None] if w.ndim == 2 else w
+
+
 def laplacian_apply(u: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
     """Graph Laplacian of the 4-neighbour grid with per-edge weights.
 
     u: [H, W, C]; wx[y, x] weighs edge to (x+1, y); wy to (x, y+1).
+    wx/wy may be [H, W] (shared across channels) or [H, W, C]
+    (per-channel — the batch-in-channels serving layout).
     Returns sum_j w_ij * (u_i - u_j) at each pixel.
     """
+    wx3, wy3 = _edge_w(wx), _edge_w(wy)
     out = jnp.zeros_like(u)
-    dxe = (u[:, :-1] - u[:, 1:]) * wx[:, :-1, None]
+    dxe = (u[:, :-1] - u[:, 1:]) * wx3[:, :-1]
     out = out.at[:, :-1].add(dxe)
     out = out.at[:, 1:].add(-dxe)
-    dye = (u[:-1, :] - u[1:, :]) * wy[:-1, :, None]
+    dye = (u[:-1, :] - u[1:, :]) * wy3[:-1, :]
     out = out.at[:-1, :].add(dye)
     out = out.at[1:, :].add(-dye)
     return out
 
 
 def laplacian_degree(wx: jnp.ndarray, wy: jnp.ndarray):
-    """Diagonal of the grid Laplacian: sum of incident edge weights."""
+    """Diagonal of the grid Laplacian: sum of incident edge weights.
+    Shape follows the inputs ([H, W] or per-channel [H, W, C])."""
     deg = jnp.zeros_like(wx)
     deg = deg.at[:, :-1].add(wx[:, :-1])
     deg = deg.at[:, 1:].add(wx[:, :-1])
@@ -161,7 +172,7 @@ def make_mg_preconditioner(
     cwx, cwy = wx2, wy2
     while True:
         h, w = caa.shape[0], caa.shape[1]
-        deg = laplacian_degree(cwx, cwy)[..., None]
+        deg = _edge_w(laplacian_degree(cwx, cwy))
         daa = caa + deg
         dbb = cbb + deg
         inv_det = 1.0 / (daa * dbb - cab * cab)
@@ -174,13 +185,17 @@ def make_mg_preconditioner(
         cbb = 0.25 * _coarsen_cellsum(cbb)
         # fine x-edges crossing a coarse column boundary sit at odd x;
         # the two fine rows feeding one coarse row pair-sum along y
-        # (and vice versa for y-edges)
+        # (and vice versa for y-edges).  Weight maps may carry a
+        # trailing channel axis (per-channel weights, _edge_w).
         ph = (-h) % 2
         pw = (-w) % 2
-        fx = jnp.pad(cwx, ((0, ph), (0, pw)))[:, 1::2]   # [h_pad, cw]
-        cwx = 0.25 * fx.reshape((h + ph) // 2, 2, -1).sum(axis=1)
-        fy = jnp.pad(cwy, ((0, ph), (0, pw)))[1::2, :]   # [ch, w_pad]
-        cwy = 0.25 * fy.reshape(-1, (w + pw) // 2, 2).sum(axis=2)
+        pad_tail = ((0, 0),) * (cwx.ndim - 2)
+        fx = jnp.pad(cwx, ((0, ph), (0, pw)) + pad_tail)[:, 1::2]
+        cwx = 0.25 * fx.reshape(
+            ((h + ph) // 2, 2) + fx.shape[1:]).sum(axis=1)
+        fy = jnp.pad(cwy, ((0, ph), (0, pw)) + pad_tail)[1::2, :]
+        cwy = 0.25 * fy.reshape(
+            (fy.shape[0], (w + pw) // 2, 2) + fy.shape[2:]).sum(axis=2)
 
     if barrier:
         # Materialize the coarsening chain before the V-cycle consumes

@@ -680,3 +680,34 @@ def test_nonlocal_in_cap_auto_raises_above_mean_degree(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cb), np.asarray(eb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_wls_vmap_folds_batch_into_channels_matching_singles(rng):
+    """solve_wls under jax.vmap routes through the batch-in-channels
+    custom batching rule (grouped-dot CG): each pair's result must match
+    its unbatched solve to reduction-order noise, and the per-pair
+    iteration counts must agree (the rule keeps per-pair alpha/beta, so
+    it IS the per-pair iteration, just fused wide)."""
+    from nct_tpu.solve.wls import solve_wls
+
+    B, H, W = 3, 24, 32
+    a_up = jnp.asarray(rng.uniform(0.5, 1.5, (B, H, W, 3)), jnp.float32)
+    b_up = jnp.asarray(rng.uniform(-0.2, 0.2, (B, H, W, 3)), jnp.float32)
+    cnt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    lam = 0.4
+
+    singles = [
+        solve_wls(a_up[i], b_up[i], cnt[i], lam, iters=8,
+                  dynamic=False, return_iters=True) for i in range(B)
+    ]
+    f = jax.jit(jax.vmap(
+        lambda a, b, c: solve_wls(a, b, c, lam, iters=8, dynamic=False,
+                                  return_iters=True)))
+    av, bv, itv, _r2v = f(a_up, b_up, cnt)
+    for i in range(B):
+        a_s, b_s, it_s, _ = singles[i]
+        assert int(itv[i]) == int(it_s)
+        np.testing.assert_allclose(np.asarray(av[i]), np.asarray(a_s),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bv[i]), np.asarray(b_s),
+                                   rtol=2e-3, atol=2e-4)

@@ -270,3 +270,31 @@ def test_knn_default_config_weight_recall_fence():
     ids, ws, _ = knn.knn_graph(lab, labels, cand, k_num=8)
     _, rw = graph_recall(np.asarray(ids), np.asarray(ws), ex_ids, ex_w)
     assert rw >= 0.999
+
+
+def test_knn_graph_vmap_folds_batch_into_rows_bitwise(rng):
+    """knn_graph under jax.vmap routes through the batch-in-rows custom
+    batching rule (one flat problem with offset cluster/pixel ids);
+    per-image results must be BITWISE the unbatched ones (clusters are
+    disjoint across images, so the folded build runs the identical
+    per-pixel selection)."""
+    from nct_tpu.solve.knn import knn_graph
+
+    B, H, W, KC, M = 3, 12, 16, 4, 32
+    lab = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, KC, (B, H, W)), jnp.int32)
+    cands = jnp.asarray(rng.integers(0, H * W, (B, KC, M)), jnp.int32)
+
+    singles = [knn_graph(lab[i], labels[i], cands[i], k_num=5, chunk=64)
+               for i in range(B)]
+    f = jax.jit(jax.vmap(
+        lambda l, pl, cd: knn_graph(l, pl, cd, k_num=5, chunk=64)))
+    ids_b, w_b, s_b = f(lab, labels, cands)
+    for i in range(B):
+        ids_s, w_s, s_s = singles[i]
+        np.testing.assert_array_equal(np.asarray(ids_b[i]),
+                                      np.asarray(ids_s))
+        np.testing.assert_allclose(np.asarray(w_b[i]), np.asarray(w_s),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(s_b[i]),
+                                      np.asarray(s_s))

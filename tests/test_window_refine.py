@@ -67,3 +67,33 @@ def test_close_to_exact_when_seeded_well(rng):
     nnf_e, d_e = exact_nn(jnp.asarray(a), jnp.asarray(b), bf16=False)
     _, d_r = window_refine(jnp.asarray(a), jnp.asarray(b), nnf_e, radius=2)
     assert np.all(np.asarray(d_r) <= np.asarray(d_e) + 2e-2)
+
+
+def test_window_refine_vmap_folds_batch_into_rows_bitwise(rng):
+    """window_refine under jax.vmap routes through the batch-in-rows
+    custom batching rule (flat strip/patch tables with per-image row
+    offsets); per-image fields must be BITWISE the unbatched ones."""
+    import jax
+
+    from nct_tpu.ops import features
+    from nct_tpu.ops import nnf as nnf_mod
+    from nct_tpu.ops.window_refine import window_refine
+
+    rng_np = np.random.default_rng(2)
+    B, HA, WA, HB, WB, C = 3, 14, 18, 12, 20, 16
+    fa = jnp.asarray(rng_np.standard_normal((B, HA, WA, C)), jnp.float32)
+    fb = jnp.asarray(rng_np.standard_normal((B, HB, WB, C)), jnp.float32)
+    fa_n = jax.vmap(lambda x: features.l2_normalize(x)[0])(fa)
+    fb_n = jax.vmap(lambda x: features.l2_normalize(x)[0])(fb)
+    n0 = jnp.stack([nnf_mod.init_scaled_identity(HA, WA, HB, WB)] * B)
+
+    singles = [window_refine(fa_n[i], fb_n[i], n0[i], 3, 2, 3)
+               for i in range(B)]
+    f = jax.jit(jax.vmap(lambda a, b, n: window_refine(a, b, n, 3, 2, 3)))
+    nnf_b, d_b = f(fa_n, fb_n, n0)
+    for i in range(B):
+        nnf_s, d_s = singles[i]
+        np.testing.assert_array_equal(np.asarray(nnf_b[i]),
+                                      np.asarray(nnf_s))
+        np.testing.assert_allclose(np.asarray(d_b[i]), np.asarray(d_s),
+                                   rtol=1e-5, atol=1e-6)

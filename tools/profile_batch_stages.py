@@ -162,10 +162,14 @@ def main():
                 )
                 au = jnp.ones((b, H, W, 3), jnp.float32)
                 bu = jnp.zeros((b, H, W, 3), jnp.float32)
+                wls_iters = (cfg.wls_cg_iters_mg
+                             if cfg.wls_precond == "mg"
+                             else cfg.wls_cg_iters)
                 f = jax.jit(jax.vmap(
                     lambda a_, b_, l_: solve_wls(
                         a_, b_, l_, 0.024 * 16.0,
-                        iters=cfg.wls_cg_iters, dynamic=False,
+                        iters=wls_iters, dynamic=False,
+                        precond_kind=cfg.wls_precond,
                     )
                 ))
                 r["wls"] = timed("wls", f, au, bu, cnt_lab)
