@@ -42,6 +42,28 @@ import jax.numpy as jnp
 from nct_tpu.ops.patchmatch import patchify
 
 
+def _box_sum(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """patch_size x patch_size zero-padded box sum over the trailing two
+    axes — the separable shifted-add decomposition of
+    ``lax.reduce_window(add, SAME)``.  reduce_window at the window
+    shapes here measured ~19 ms on the v5e for a 52 MB operand (~100x
+    off bandwidth, and flat in batch size); two padded-slice add chains
+    stream the same bytes at ~line rate."""
+    half = patch_size // 2
+    lead = ((0, 0),) * (x.ndim - 2)
+    xp = jnp.pad(x, lead + ((half, half), (0, 0)))
+    h = x.shape[-2]
+    rows = xp[..., 0:h, :]
+    for o in range(1, patch_size):
+        rows = rows + xp[..., o:o + h, :]
+    xp = jnp.pad(rows, lead + ((0, 0), (half, half)))
+    w = x.shape[-1]
+    out = xp[..., 0:w]
+    for o in range(1, patch_size):
+        out = out + xp[..., o:o + w]
+    return out
+
+
 def _shift_set(radius: int):
     """Dense +-radius window plus sparse far rings (8 compass points at
     2r and 4r): the reference's random search reaches radius 32 at the
@@ -135,6 +157,13 @@ def _window_refine_impl(
         & (by0[None] + sdy >= 0) & (by0[None] + sdy < hb)
     )
     d_center = jnp.where(valid, d_center, jnp.inf)
+    # Materialize the centre-distance block before the box-sum/shortlist
+    # consumers: the fused 452 px program kernel-faulted the relayed
+    # worker when XLA fused the strip-gather region into the shifted-add
+    # box sums (round-5; the recurring composition-fault class — same
+    # medicine as the Pallas-matcher prep and mg-WLS hierarchy barriers,
+    # PERFORMANCE.md bisections).
+    d_center = jax.lax.optimization_barrier(d_center)
 
     # ---- patch-approximate scores: the exact patch metric of candidate
     # nnf0(p)+w is sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled
@@ -146,15 +175,8 @@ def _window_refine_impl(
     # still clips, re-scores exactly, and keeps the incumbent, so field
     # inconsistencies can only cost candidate quality, never correctness).
     finite = jnp.isfinite(d_center)
-    win = (1, patch_size, patch_size)
-    num = jax.lax.reduce_window(
-        jnp.where(finite, d_center, 0.0), 0.0, jax.lax.add,
-        win, (1, 1, 1), "SAME",
-    )
-    cnt = jax.lax.reduce_window(
-        finite.astype(jnp.float32), 0.0, jax.lax.add,
-        win, (1, 1, 1), "SAME",
-    )
+    num = _box_sum(jnp.where(finite, d_center, 0.0), patch_size)
+    cnt = _box_sum(finite.astype(jnp.float32), patch_size)
     d_patch = jnp.where(cnt > 0, num / cnt, jnp.inf)
 
     # ---- shortlist: S best shifts per pixel by approximate patch score
@@ -270,17 +292,12 @@ def _window_refine_folded(
         & (by0[:, None] + sdy >= 0) & (by0[:, None] + sdy < hb)
     )
     d_center = jnp.where(valid, d_center, jnp.inf)
+    # same composition-fault barrier as the unbatched body (see there)
+    d_center = jax.lax.optimization_barrier(d_center)
 
     finite = jnp.isfinite(d_center)
-    win = (1, 1, patch_size, patch_size)
-    num = jax.lax.reduce_window(
-        jnp.where(finite, d_center, 0.0), 0.0, jax.lax.add,
-        win, (1, 1, 1, 1), "SAME",
-    )
-    cnt = jax.lax.reduce_window(
-        finite.astype(jnp.float32), 0.0, jax.lax.add,
-        win, (1, 1, 1, 1), "SAME",
-    )
+    num = _box_sum(jnp.where(finite, d_center, 0.0), patch_size)
+    cnt = _box_sum(finite.astype(jnp.float32), patch_size)
     d_patch = jnp.where(cnt > 0, num / cnt, jnp.inf)
 
     s_count = min(shortlist, n_shifts)

@@ -294,7 +294,6 @@ def _knn_graph_sorted(
     def one_chunk(args):
         c, d0, dend = args
         pos = d0 + jnp.arange(chunk, dtype=jnp.int32)
-        valid = pos < dend
         pid = order[jnp.minimum(pos, n - 1)].astype(jnp.int32)
         qc = colors[pid]                              # [B, 3]
         cand_ids = candidates[c]                      # [M]
@@ -335,21 +334,41 @@ def _knn_graph_sorted(
             < nfin[:, None]
         )
         weights = jnp.where(alive, jnp.exp(1.0 - dists / 3.0), 0.0)
-        return pid, valid, ids, weights, slots
+        return ids, weights, slots
 
-    pid, valid, ids, weights, slots = jax.lax.map(
+    ids, weights, slots = jax.lax.map(
         one_chunk, (row_cluster, data_start, cluster_end)
     )
-    pid = pid.reshape(-1)
-    valid = valid.reshape(-1)
-    tgt = jnp.where(valid, pid, n)                    # sentinel row n
-    ids_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
-        ids.reshape(-1, k_num), unique_indices=False
+    # Un-permute by GATHER, not scatter: TPU scatters hit a superlinear
+    # cliff above ~0.5M rows (measured 1.4 ms at 135k vs 47 ms at 542k —
+    # the batch-folded build's regime) while equal-sized gathers stay
+    # ~linear.  The valid chunk rows enumerate sorted positions 0..n-1
+    # IN ORDER (chunks walk clusters in cluster order, positions in
+    # position order), so the flat row holding sorted position `pos` is
+    # computable analytically, and pixel p's result row is that of
+    # pos = inv_order[p] (order's inverse permutation, one cheap
+    # argsort).
+    pos_arr = jnp.arange(n, dtype=jnp.int32)
+    pos_cluster = jnp.minimum(
+        jnp.searchsorted(jnp.cumsum(counts), pos_arr, side="right"),
+        kc - 1,
+    ).astype(jnp.int32)
+    local = pos_arr - starts[pos_cluster].astype(jnp.int32)
+    flat_row = (
+        (chunk_off[pos_cluster].astype(jnp.int32) + local // chunk)
+        * chunk + local % chunk
     )
-    w_o = jnp.zeros((n + 1, k_num), jnp.float32).at[tgt].set(
-        weights.reshape(-1, k_num), unique_indices=False
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    take = flat_row[inv_order]                        # [n] result rows
+    # Materialize the chunk-scan outputs before the un-permute gathers:
+    # cuts the composed argsort -> scan -> gather chain the relayed
+    # toolchain's compile service and worker mishandle when fused with
+    # the surrounding level program (round-5 fused-452 incident;
+    # PERFORMANCE.md composition-fault class).
+    ids, weights, slots, take = jax.lax.optimization_barrier(
+        (ids, weights, slots, take))
+    return (
+        ids.reshape(-1, k_num)[take],
+        weights.reshape(-1, k_num)[take],
+        slots.reshape(-1, k_num)[take],
     )
-    s_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
-        slots.reshape(-1, k_num), unique_indices=False
-    )
-    return ids_o[:n], w_o[:n], s_o[:n]
