@@ -122,6 +122,14 @@ class Config:
     # suffice (SSIM 0.998 vs 8 rescores at 192 px; each rescore is an
     # Ha*Wa-row gather of K*C-wide patch rows).
     window_shortlist: int = 2
+    # Box-sum lowering for the window refine's patch-approx stage:
+    # "shifts" (separable shifted-add — streams at line rate; ~38 ms/dir
+    # cheaper than reduce_window at 452 px) / "reduce_window" /
+    # "auto" = shifts in staged per-level programs (proven clean),
+    # reduce_window inside the fused whole-pipeline program, where the
+    # shifted-add lowering kernel-faults the relayed worker (round-5
+    # composition-fault A/B, PERFORMANCE.md).
+    window_boxsum: str = "auto"
     # Stage-1 ranking channel subset (0 = all): the centre-distance
     # gathers are the window refine's dominant HBM traffic and only feed
     # the shortlist RANKING — stage 2 rescores exactly and keeps the

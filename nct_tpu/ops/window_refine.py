@@ -42,13 +42,33 @@ import jax.numpy as jnp
 from nct_tpu.ops.patchmatch import patchify
 
 
-def _box_sum(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+def _box_sum(x: jnp.ndarray, patch_size: int,
+             use_shifts: bool = True) -> jnp.ndarray:
     """patch_size x patch_size zero-padded box sum over the trailing two
     axes — the separable shifted-add decomposition of
     ``lax.reduce_window(add, SAME)``.  reduce_window at the window
     shapes here measured ~19 ms on the v5e for a 52 MB operand (~100x
     off bandwidth, and flat in batch size); two padded-slice add chains
-    stream the same bytes at ~line rate."""
+    stream the same bytes at ~line rate.
+
+    BUT: the shifted-add lowering is the round-5 composition-fault
+    trigger inside the FUSED whole-pipeline program (scan-2 A/B on the
+    relayed worker: reduce_window body runs clean, shifted-add body
+    kernel-faults; both run clean in staged per-level programs and in
+    the vmapped batch program).  Callers therefore pick per program
+    shape via ``use_shifts`` (pipeline: staged -> shifts, fused ->
+    reduce_window; the folded batch body always uses shifts).
+    NCT_BOXSUM=rw|shifts overrides for A/B."""
+    import os
+    env = os.environ.get("NCT_BOXSUM", "")
+    if env == "rw":
+        use_shifts = False
+    elif env == "shifts":
+        use_shifts = True
+    if not use_shifts:
+        win = (1,) * (x.ndim - 2) + (patch_size, patch_size)
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, win, (1,) * x.ndim, "SAME")
     half = patch_size // 2
     lead = ((0, 0),) * (x.ndim - 2)
     xp = jnp.pad(x, lead + ((half, half), (0, 0)))
@@ -88,6 +108,7 @@ def _window_refine_impl(
     shortlist: int = 8,
     patch_size: int = 3,
     stage1_channels: int = 0,
+    boxsum: str = "shifts",
 ):
     """Refine nnf0 (a->b) within a +-radius window (unbatched body).
 
@@ -175,8 +196,10 @@ def _window_refine_impl(
     # still clips, re-scores exactly, and keeps the incumbent, so field
     # inconsistencies can only cost candidate quality, never correctness).
     finite = jnp.isfinite(d_center)
-    num = _box_sum(jnp.where(finite, d_center, 0.0), patch_size)
-    cnt = _box_sum(finite.astype(jnp.float32), patch_size)
+    use_shifts = boxsum != "reduce_window"
+    num = _box_sum(jnp.where(finite, d_center, 0.0), patch_size,
+                   use_shifts)
+    cnt = _box_sum(finite.astype(jnp.float32), patch_size, use_shifts)
     d_patch = jnp.where(cnt > 0, num / cnt, jnp.inf)
 
     # ---- shortlist: S best shifts per pixel by approximate patch score
@@ -352,14 +375,15 @@ def _window_refine_folded(
 
 @functools.lru_cache(maxsize=None)
 def _window_refine_custom_vmap(radius: int, shortlist: int,
-                               patch_size: int, stage1_channels: int):
+                               patch_size: int, stage1_channels: int,
+                               boxsum: str):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
     def f(a_norm, b_norm, nnf0):
         return _window_refine_impl(a_norm, b_norm, nnf0, radius,
                                    shortlist, patch_size,
-                                   stage1_channels)
+                                   stage1_channels, boxsum)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, a_norm, b_norm, nnf0):
@@ -379,7 +403,7 @@ def _window_refine_custom_vmap(radius: int, shortlist: int,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "shortlist", "patch_size",
-                     "stage1_channels"),
+                     "stage1_channels", "boxsum"),
 )
 def window_refine(
     a_norm: jnp.ndarray,
@@ -389,6 +413,7 @@ def window_refine(
     shortlist: int = 8,
     patch_size: int = 3,
     stage1_channels: int = 0,
+    boxsum: str = "shifts",
 ):
     """Refine nnf0 (a->b) within a +-radius window (see
     _window_refine_impl; under jax.vmap the batch folds into the table
@@ -398,5 +423,5 @@ def window_refine(
     """
     return _window_refine_custom_vmap(
         int(radius), int(shortlist), int(patch_size),
-        int(stage1_channels),
+        int(stage1_channels), str(boxsum),
     )(a_norm, b_norm, nnf0)

@@ -20,6 +20,7 @@ bucket-and-pad is the batching strategy on top).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 import time
@@ -158,7 +159,7 @@ def _level_match(
         ann, _ = window_refine.window_refine(
             fc_n, fs_n, ann0, config.window_radius,
             config.window_shortlist, config.patch_size,
-            config.window_stage1_channels,
+            config.window_stage1_channels, config.window_boxsum,
         )
         if serialize:
             ann, fc_n, fs_n, bnn0 = jax.lax.optimization_barrier(
@@ -166,7 +167,7 @@ def _level_match(
         bnn, _ = window_refine.window_refine(
             fs_n, fc_n, bnn0, config.window_radius,
             config.window_shortlist, config.patch_size,
-            config.window_stage1_channels,
+            config.window_stage1_channels, config.window_boxsum,
         )
         if serialize:
             ann, bnn, down_stl, fs, fc_n = jax.lax.optimization_barrier(
@@ -246,7 +247,7 @@ def _match_search_dir(
         field, _ = window_refine.window_refine(
             fa_n, fb_n, f0, config.window_radius,
             config.window_shortlist, config.patch_size,
-            config.window_stage1_channels,
+            config.window_stage1_channels, config.window_boxsum,
         )
     else:
         if l == 0:
@@ -676,6 +677,15 @@ def transfer_pair(
     """
     if key is None:
         key = jax.random.PRNGKey(7)
+    if config.window_boxsum == "auto":
+        # shifted-add box sums are ~38 ms/direction cheaper but
+        # kernel-fault the relayed worker when fused into the
+        # whole-pipeline program (round-5 composition-fault A/B —
+        # staged per-level programs run them clean); resolve per mode
+        config = dataclasses.replace(
+            config,
+            window_boxsum="shifts" if staged else "reduce_window",
+        )
     taps = tuple(config.vgg_layers())
     numlayer = len(taps)
 

@@ -339,6 +339,23 @@ def _knn_graph_sorted(
     ids, weights, slots = jax.lax.map(
         one_chunk, (row_cluster, data_start, cluster_end)
     )
+    import os
+    if os.environ.get("NCT_KNN_EPILOGUE") == "scatter":
+        # Round-4 epilogue (fault-class A/B switch, see _box_sum): the
+        # [rows, k] scatter-set — hits a 34x cliff above ~0.5M rows.
+        n_rows = ids.shape[0] * ids.shape[1]
+        pos = (data_start[:, None]
+               + jnp.arange(chunk, dtype=jnp.int32)[None, :])
+        valid = (pos < cluster_end[:, None]).reshape(-1)
+        pid = order[jnp.minimum(pos.reshape(-1), n - 1)].astype(jnp.int32)
+        tgt = jnp.where(valid, pid, n)
+        ids_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
+            ids.reshape(-1, k_num), unique_indices=False)
+        w_o = jnp.zeros((n + 1, k_num), jnp.float32).at[tgt].set(
+            weights.reshape(-1, k_num), unique_indices=False)
+        s_o = jnp.zeros((n + 1, k_num), jnp.int32).at[tgt].set(
+            slots.reshape(-1, k_num), unique_indices=False)
+        return ids_o[:n], w_o[:n], s_o[:n]
     # Un-permute by GATHER, not scatter: TPU scatters hit a superlinear
     # cliff above ~0.5M rows (measured 1.4 ms at 135k vs 47 ms at 542k —
     # the batch-folded build's regime) while equal-sized gathers stay
