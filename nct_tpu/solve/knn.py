@@ -230,6 +230,12 @@ def knn_graph(
         lab_unit, pixel_labels, candidates)
 
 
+# Row count from which the sorted builder's un-permute runs as gathers
+# instead of a scatter-set (the TPU scatter cliff sits between 135k and
+# 542k rows; single-pair grids stay below, batch-folded ones above).
+_GATHER_EPILOGUE_MIN_ROWS = 400_000
+
+
 def _knn_graph_sorted(
     colors: jnp.ndarray,
     labels: jnp.ndarray,
@@ -340,9 +346,21 @@ def _knn_graph_sorted(
         one_chunk, (row_cluster, data_start, cluster_end)
     )
     import os
-    if os.environ.get("NCT_KNN_EPILOGUE") == "scatter":
-        # Round-4 epilogue (fault-class A/B switch, see _box_sum): the
-        # [rows, k] scatter-set — hits a 34x cliff above ~0.5M rows.
+    # Epilogue selection: the gather un-permute exists to dodge the TPU
+    # scatter cliff (scatter-set 1.4 ms at 135k rows but 47 ms at 542k —
+    # the batch-FOLDED regime), while the scatter epilogue is the
+    # round-4 program every fused single-pair geometry shipped with —
+    # and the round-5 fused-452 A/B showed the gather epilogue's
+    # argsort->scan->gather chain participates in a whole-pipeline
+    # composition kernel fault on the relayed worker (scan/staged
+    # programs run it clean).  Below the cliff there is nothing to win,
+    # so keep the proven scatter there; NCT_KNN_EPILOGUE overrides.
+    epilogue = os.environ.get(
+        "NCT_KNN_EPILOGUE",
+        "gather" if n >= _GATHER_EPILOGUE_MIN_ROWS else "scatter",
+    )
+    if epilogue == "scatter":
+        # Round-4 epilogue: the [rows, k] scatter-set.
         n_rows = ids.shape[0] * ids.shape[1]
         pos = (data_start[:, None]
                + jnp.arange(chunk, dtype=jnp.int32)[None, :])
