@@ -125,10 +125,10 @@ def main() -> None:
     cnt_d = jax.device_put(cnt)
     stl_d = jax.device_put(stl)
 
+    from nct_tpu.pipeline import transfer_pair
+
     def run():
         if BENCH_STAGED:
-            from nct_tpu.pipeline import transfer_pair
-
             out = transfer_pair(
                 params, cnt_d, stl_d, 2.0, config, key=key, staged=True
             )
@@ -138,7 +138,28 @@ def main() -> None:
         # readout is the only reliable completion barrier.
         return float(jnp.sum(out.astype(jnp.float32)))
 
-    run()  # warmup: compile + drain
+    try:
+        run()  # warmup: compile + drain
+    except Exception as e:  # noqa: BLE001
+        # A fused-run kernel fault must degrade to a bench number, not
+        # an infra failure: fall back to the staged per-level programs
+        # (same math; the CLI has the same fallback, cli.py) after the
+        # relayed worker restarts.
+        if BENCH_STAGED or BENCH_FORCE_FUSED:
+            raise
+        print(f"# fused run failed ({type(e).__name__}); "
+              "falling back to staged", file=sys.stderr, flush=True)
+        BENCH_STAGED = True
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            try:
+                jax.devices()
+                run()
+                break
+            except Exception:  # noqa: BLE001
+                time.sleep(60)
+        else:
+            raise
     # subtract the fixed readout/rpc latency via a trivial program
     tiny = jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.float32))
     t0 = time.perf_counter()

@@ -178,13 +178,6 @@ def _window_refine_impl(
         & (by0[None] + sdy >= 0) & (by0[None] + sdy < hb)
     )
     d_center = jnp.where(valid, d_center, jnp.inf)
-    # Materialize the centre-distance block before the box-sum/shortlist
-    # consumers: the fused 452 px program kernel-faulted the relayed
-    # worker when XLA fused the strip-gather region into the shifted-add
-    # box sums (round-5; the recurring composition-fault class — same
-    # medicine as the Pallas-matcher prep and mg-WLS hierarchy barriers,
-    # PERFORMANCE.md bisections).
-    d_center = jax.lax.optimization_barrier(d_center)
 
     # ---- patch-approximate scores: the exact patch metric of candidate
     # nnf0(p)+w is sum_o centre(p+o, nnf0(p)+w+o); wherever the upsampled
