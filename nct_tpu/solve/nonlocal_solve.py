@@ -429,8 +429,9 @@ def make_nonlocal_system(
             if eff_cap > in_cap:
                 from nct_tpu.utils import glog
                 glog.warning(
-                    f"nonlocal in-edge tables: mean in-degree {mean_in} "
-                    f"(pairs={n * k}, slots={n_slots}) exceeds the "
+                    f"nonlocal in-edge tables: 1.5x-mean headroom "
+                    f"{headroom} (mean in-degree {mean_in}, "
+                    f"pairs={n * k}, slots={n_slots}) exceeds the "
                     f"configured cap {in_cap}; widening tables to "
                     f"{in_max} so only hub overflow beyond 1.5x the "
                     f"mean is dropped")
