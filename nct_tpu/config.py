@@ -136,6 +136,14 @@ class Config:
     # incumbent — so halving the channels halves the stage's traffic at
     # bounded shortlist-quality cost.  A MAX_SIZE tuning knob.
     window_stage1_channels: int = 0
+    # Stage-1 channel subset applied by the MAX_SIZE sub-split search
+    # path when window_stage1_channels is 0 (= "auto"): at the 665x1000
+    # L4 geometry ranking on 32 of 64 channels cuts the refine from
+    # 400 to 306 ms/dir (random-feature A/B, the subset's WORST case:
+    # isotropic channels carry no ordering; mean exact-metric loss was
+    # 5.6% relative before stage-2's exact rescore bounds it).  0
+    # disables the subset (full channels everywhere).
+    window_stage1_channels_maxsize: int = 32
     # Force optimization_barrier sequencing of the two window-refine
     # directions (+ the BDS stage) inside _level_match.  Auto-enabled by
     # geometry above pipeline._SERIALIZE_PIXELS — the measured boundary

@@ -244,10 +244,19 @@ def _match_search_dir(
         field, _ = exact_nn.exact_nn(fa_n, fb_n, config.patch_size)
     elif use_window:
         f0 = nnf.upsample(prev_field, ah, aw, bh, bw)
+        # MAX_SIZE levels rank stage 1 on a channel subset by default:
+        # the centre-distance gathers dominate this program's time and
+        # only feed the shortlist RANKING (stage 2 rescores exactly and
+        # keeps the incumbent).  Keyed on its own constant — NOT
+        # FUSED_ENVELOPE_PIXELS, which tests monkeypatch to force this
+        # path at tiny geometries where the subset must stay off.
+        cs = config.window_stage1_channels
+        if cs == 0 and ah * aw > _STAGE1_SUBSET_PIXELS:
+            cs = config.window_stage1_channels_maxsize
         field, _ = window_refine.window_refine(
             fa_n, fb_n, f0, config.window_radius,
             config.window_shortlist, config.patch_size,
-            config.window_stage1_channels, config.window_boxsum,
+            cs, config.window_boxsum,
         )
     else:
         if l == 0:
@@ -595,6 +604,14 @@ _solve_finish_jit = functools.partial(
 # above this (--no-staged forces fused), and staged mode further splits
 # levels above it into search-per-direction + BDS + solve programs.
 FUSED_ENVELOPE_PIXELS = 320_000
+
+# Level-pixel threshold above which the sub-split search ranks the
+# window refine's stage 1 on Config.window_stage1_channels_maxsize
+# channels instead of all of them (see _match_search_dir).  Deliberately
+# a separate constant from FUSED_ENVELOPE_PIXELS: tests monkeypatch the
+# envelope to 0 to force the sub-split path at tiny geometries, and the
+# subset default must not change the math there.
+_STAGE1_SUBSET_PIXELS = 320_000
 
 
 def _setup(params, cnt, stl, key, config: Config, taps):

@@ -224,3 +224,34 @@ def test_transfer_pair_stats_trace(tiny_setup):
         assert 1 <= int(tr["nl_iters"]) <= nl_cap
         assert 1 <= int(tr["wls_iters"]) <= config.wls_cg_iters_mg
         assert np.isfinite(float(tr["nl_r2"]))
+
+
+def test_stage1_subset_default_plumbs_through_subsplit(tiny_setup,
+                                                      monkeypatch):
+    """The MAX_SIZE stage-1 channel-subset default
+    (window_stage1_channels_maxsize) is keyed on _STAGE1_SUBSET_PIXELS,
+    NOT the monkeypatchable fused envelope: forcing the sub-split path
+    at tiny geometry must not change the math (covered by
+    test_staged_subsplit_matches_staged), while shrinking the subset
+    threshold itself must produce bitwise the run with the subset
+    requested explicitly."""
+    import dataclasses
+
+    from nct_tpu import pipeline
+
+    params, cnt, stl, config = tiny_setup
+    config = dataclasses.replace(
+        config, feature_dtype="float32", window_stage1_channels_maxsize=2
+    )
+    key = jax.random.PRNGKey(0)
+    monkeypatch.setattr(pipeline, "FUSED_ENVELOPE_PIXELS", 0)
+    explicit = np.asarray(transfer_pair(
+        params, cnt, stl, 2.0,
+        dataclasses.replace(config, window_stage1_channels=2),
+        key=key, staged=True,
+    ))
+    monkeypatch.setattr(pipeline, "_STAGE1_SUBSET_PIXELS", 0)
+    auto = np.asarray(transfer_pair(
+        params, cnt, stl, 2.0, config, key=key, staged=True,
+    ))
+    np.testing.assert_array_equal(auto, explicit)

@@ -97,3 +97,44 @@ def test_window_refine_vmap_folds_batch_into_rows_bitwise(rng):
                                       np.asarray(nnf_s))
         np.testing.assert_allclose(np.asarray(d_b[i]), np.asarray(d_s),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_stage1_channel_subset_never_regresses(rng):
+    """stage1_channels ranks the shortlist on a channel SUBSET (the
+    MAX_SIZE traffic knob, config.window_stage1_channels_maxsize); the
+    exact stage-2 rescore + incumbent guarantee must keep the output
+    metric at or below the incumbent field's regardless of how bad the
+    subset ranking is."""
+    a = _norm(rng.standard_normal((10, 12, 8)).astype(np.float32))
+    b = _norm(rng.standard_normal((11, 13, 8)).astype(np.float32))
+    nnf0 = init_scaled_identity(10, 12, 11, 13)
+    _, d0 = window_refine(
+        jnp.asarray(a), jnp.asarray(b), nnf0, radius=0, shortlist=1
+    )
+    for cs in (4, 2, 1):
+        _, d1 = window_refine(
+            jnp.asarray(a), jnp.asarray(b), nnf0, radius=3, shortlist=2,
+            patch_size=3, stage1_channels=cs,
+        )
+        assert np.all(np.asarray(d1) <= np.asarray(d0) + 1e-3), cs
+
+
+def test_stage1_subset_vmap_fold_matches_unbatched(rng):
+    """The batch-in-rows fold must honour the channel subset: vmapped
+    output with stage1_channels=cs is bitwise the unbatched cs run."""
+    import jax
+
+    rng_np = np.random.default_rng(5)
+    B, HA, WA, HB, WB, C = 2, 10, 12, 11, 13, 8
+    fa = _norm(rng_np.standard_normal((B, HA, WA, C)).astype(np.float32))
+    fb = _norm(rng_np.standard_normal((B, HB, WB, C)).astype(np.float32))
+    n0 = jnp.stack([init_scaled_identity(HA, WA, HB, WB)] * B)
+    fa = jnp.asarray(fa)
+    fb = jnp.asarray(fb)
+    f = jax.jit(jax.vmap(
+        lambda a, b, n: window_refine(a, b, n, 3, 2, 3, 4)))
+    nnf_b, _ = f(fa, fb, n0)
+    for i in range(B):
+        nnf_s, _ = window_refine(fa[i], fb[i], n0[i], 3, 2, 3, 4)
+        np.testing.assert_array_equal(np.asarray(nnf_b[i]),
+                                      np.asarray(nnf_s))
